@@ -1,0 +1,220 @@
+"""Ensemble reduction & alignment, fully on-device (jit-compatible).
+
+Behavioral reference: marigold/util/ensemble.py in prs-eth/Marigold —
+  * ensemble_depth (lines 39-196): joint scale/shift alignment of E members
+    minimizing the sum of pairwise RMS differences plus a 0.02-strength
+    regularizer pulling the reduced prediction to [0,1]; reduce by
+    median (default) or mean; uncertainty = MAD (median) or std (mean);
+    final renormalization to [0,1].
+  * ensemble_normals (199-249): L2-normalized mean; default reduction
+    "closest" picks, per pixel, the member most aligned with the mean;
+    uncertainty = mean arccos(cos-sim)/pi.
+  * ensemble_iid (252-270): plain median/mean + MAD/std.
+
+TPU-first redesign: the reference solves the alignment with scipy BFGS on
+host (CPU, dynamic iteration count) — a device->host sync in the middle of
+the pipeline. Here the same cost is minimized **on device** with
+`jax.scipy.optimize.minimize(method="BFGS")` under jit (fixed maxiter,
+static shapes), so the whole pipeline stays one XLA program. Median matches
+torch semantics (lower median for even counts).
+
+Layout: members on the leading axis, NHWC spatial layout — [E, H, W, C].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.optimize as jax_optimize
+
+
+def lower_median(x: jax.Array, axis: int = 0, keepdims: bool = True) -> jax.Array:
+    """torch.median semantics: for even counts return the lower middle value
+    (jnp.median averages the two middles)."""
+    n = x.shape[axis]
+    sorted_x = jnp.sort(x, axis=axis)
+    idx = (n - 1) // 2
+    out = jax.lax.index_in_dim(sorted_x, idx, axis=axis, keepdims=keepdims)
+    return out
+
+
+def _reduce(
+    x: jax.Array, reduction: str, return_uncertainty: bool
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Reduce ensemble axis 0. Returns ([1,...], uncertainty or None)."""
+    uncertainty = None
+    if reduction == "mean":
+        pred = jnp.mean(x, axis=0, keepdims=True)
+        if return_uncertainty:
+            uncertainty = jnp.std(x, axis=0, keepdims=True)
+    elif reduction == "median":
+        pred = lower_median(x, axis=0, keepdims=True)
+        if return_uncertainty:
+            uncertainty = lower_median(jnp.abs(x - pred), axis=0, keepdims=True)
+    else:
+        raise ValueError(f"Unrecognized reduction method: {reduction}.")
+    return pred, uncertainty
+
+
+def _downsample_nearest_max_res(x: jax.Array, max_res: int) -> jax.Array:
+    """Nearest-neighbor downsample [E,H,W,C] so max(H,W) <= max_res (static
+    shape function of the input shape; reference uses nearest-exact,
+    ensemble.py:158-161)."""
+    e, h, w, c = x.shape
+    m = max(h, w)
+    if max_res is None or m <= max_res:
+        return x
+    scale = max_res / m
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    return jax.image.resize(x, (e, nh, nw, c), method="nearest")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale_invariant",
+        "shift_invariant",
+        "output_uncertainty",
+        "reduction",
+        "regularizer_strength",
+        "max_iter",
+        "tol",
+        "max_res",
+    ),
+)
+def ensemble_depth(
+    depth: jax.Array,
+    scale_invariant: bool = True,
+    shift_invariant: bool = True,
+    output_uncertainty: bool = False,
+    reduction: str = "median",
+    regularizer_strength: float = 0.02,
+    max_iter: int = 50,
+    tol: float = 1e-6,
+    max_res: int = 1024,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Align+reduce an ensemble of depth maps. `depth`: [E, H, W, 1] in [0,1].
+
+    Returns ([1,H,W,1] in [0,1], uncertainty [1,H,W,1] or None).
+    """
+    if depth.ndim != 4 or depth.shape[-1] != 1:
+        raise ValueError(f"Expecting [E,H,W,1]; got {depth.shape}.")
+    if reduction not in ("mean", "median"):
+        raise ValueError(f"Unrecognized reduction method: {reduction}.")
+    if not scale_invariant and shift_invariant:
+        raise ValueError("Pure shift-invariant ensembling is not supported.")
+
+    E = depth.shape[0]
+    depth = depth.astype(jnp.float32)
+    requires_aligning = scale_invariant or shift_invariant
+
+    def apply_align(d, param):
+        if scale_invariant and shift_invariant:
+            s, t = param[:E], param[E:]
+            return d * s.reshape(E, 1, 1, 1) + t.reshape(E, 1, 1, 1)
+        elif scale_invariant:
+            return d * param.reshape(E, 1, 1, 1)
+        return d
+
+    if requires_aligning and E > 1:
+        small = _downsample_nearest_max_res(depth, max_res)
+
+        flat = small.reshape(E, -1)
+        init_min = jnp.min(flat, axis=1)
+        init_max = jnp.max(flat, axis=1)
+        if scale_invariant and shift_invariant:
+            init_s = 1.0 / jnp.clip(init_max - init_min, 1e-6, None)
+            init_t = -init_s * init_min
+            x0 = jnp.concatenate([init_s, init_t])
+        else:
+            x0 = 1.0 / jnp.clip(init_max, 1e-6, None)
+
+        iu, ju = jnp.triu_indices(E, k=1)
+
+        def cost_fn(param):
+            aligned = apply_align(small, param)
+            flat_a = aligned.reshape(E, -1)
+            # sum over pairs of RMS differences (reference cost_fn 138-152)
+            diffs = flat_a[iu] - flat_a[ju]  # [P, N]
+            cost = jnp.sum(jnp.sqrt(jnp.mean(diffs**2, axis=1) + 1e-12))
+            if regularizer_strength > 0:
+                pred, _ = _reduce(aligned, reduction, False)
+                err_near = jnp.abs(0.0 - jnp.min(pred))
+                err_far = jnp.abs(1.0 - jnp.max(pred))
+                cost = cost + (err_near + err_far) * regularizer_strength
+            return cost
+
+        res = jax_optimize.minimize(
+            cost_fn, x0, method="BFGS", options=dict(maxiter=max_iter, gtol=tol)
+        )
+        # BFGS can diverge on degenerate inputs; fall back to the init params.
+        param = jnp.where(jnp.isfinite(res.x), res.x, x0)
+        param = jnp.where(cost_fn(param) <= cost_fn(x0), param, x0)
+        depth = apply_align(depth, param)
+
+    pred, uncertainty = _reduce(depth, reduction, output_uncertainty)
+
+    d_max = jnp.max(pred)
+    d_min = jnp.min(pred) if (scale_invariant and shift_invariant) else 0.0
+    d_range = jnp.clip(d_max - d_min, 1e-6, None)
+    pred = (pred - d_min) / d_range
+    if output_uncertainty:
+        uncertainty = uncertainty / d_range
+
+    return pred, uncertainty
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_uncertainty", "reduction")
+)
+def ensemble_normals(
+    normals: jax.Array,
+    output_uncertainty: bool = False,
+    reduction: str = "closest",
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Ensemble normal maps. `normals`: [E, H, W, 3] unit vectors.
+
+    Returns ([1,H,W,3], uncertainty [1,H,W,1] or None).
+    """
+    if normals.ndim != 4 or normals.shape[-1] != 3:
+        raise ValueError(f"Expecting [E,H,W,3]; got {normals.shape}.")
+    if reduction not in ("closest", "mean"):
+        raise ValueError(f"Unrecognized reduction method: {reduction}.")
+
+    normals = normals.astype(jnp.float32)
+    mean_normals = jnp.mean(normals, axis=0, keepdims=True)
+    norm = jnp.linalg.norm(mean_normals, axis=-1, keepdims=True)
+    mean_normals = mean_normals / jnp.clip(norm, 1e-6, None)
+
+    sim_cos = None
+    if output_uncertainty or reduction != "mean":
+        sim_cos = jnp.sum(mean_normals * normals, axis=-1, keepdims=True)
+        sim_cos = jnp.clip(sim_cos, -1.0, 1.0)  # [E,H,W,1]
+
+    uncertainty = None
+    if output_uncertainty:
+        uncertainty = jnp.mean(jnp.arccos(sim_cos), axis=0, keepdims=True) / jnp.pi
+
+    if reduction == "mean":
+        return mean_normals, uncertainty
+
+    closest_idx = jnp.argmax(sim_cos[..., 0], axis=0)  # [H,W]
+    closest = jnp.take_along_axis(
+        normals, closest_idx[None, :, :, None], axis=0
+    )  # [1,H,W,3]
+    return closest, uncertainty
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_uncertainty", "reduction")
+)
+def ensemble_iid(
+    targets: jax.Array,
+    output_uncertainty: bool = False,
+    reduction: str = "median",
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Plain median/mean ensemble for IID targets. `targets`: [E, H, W, C]."""
+    return _reduce(targets.astype(jnp.float32), reduction, output_uncertainty)

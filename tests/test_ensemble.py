@@ -1,0 +1,143 @@
+"""Ensemble math tests. The depth-alignment oracle reimplements the
+reference algorithm (marigold/util/ensemble.py:39-196) in numpy+scipy on
+host; our on-device BFGS must land on an equal-or-better cost and an
+equivalent ensembled map."""
+
+import numpy as np
+import scipy.optimize
+import jax.numpy as jnp
+
+from marigold_tpu.pipelines.ensemble import (
+    ensemble_depth,
+    ensemble_normals,
+    ensemble_iid,
+    lower_median,
+)
+
+
+def _make_ensemble(rng, E=6, H=24, W=32, noise=0.01):
+    gt = rng.uniform(0.05, 0.95, size=(1, H, W, 1)).astype(np.float32)
+    scales = rng.uniform(0.5, 2.0, size=(E, 1, 1, 1)).astype(np.float32)
+    shifts = rng.uniform(-0.3, 0.3, size=(E, 1, 1, 1)).astype(np.float32)
+    members = gt * scales + shifts + rng.normal(0, noise, (E, H, W, 1)).astype(
+        np.float32
+    )
+    return gt, members.astype(np.float32)
+
+
+def _oracle_cost(param, depth, reduction="median", reg=0.02):
+    E = depth.shape[0]
+    s, t = param[:E], param[E:]
+    aligned = depth * s.reshape(E, 1, 1, 1) + t.reshape(E, 1, 1, 1)
+    cost = 0.0
+    for i in range(E):
+        for j in range(i + 1, E):
+            cost += np.sqrt(((aligned[i] - aligned[j]) ** 2).mean())
+    if reg > 0:
+        k = (E - 1) // 2
+        pred = np.partition(aligned, k, axis=0)[k]  # lower median
+        cost += (abs(0.0 - pred.min()) + abs(1.0 - pred.max())) * reg
+    return cost
+
+
+def _oracle_ensemble_depth(depth, reduction="median"):
+    E = depth.shape[0]
+    flat = depth.reshape(E, -1)
+    init_s = 1.0 / np.clip(flat.max(1) - flat.min(1), 1e-6, None)
+    init_t = -init_s * flat.min(1)
+    x0 = np.concatenate([init_s, init_t]).astype(np.float64)
+    res = scipy.optimize.minimize(
+        _oracle_cost, x0, args=(depth,), method="BFGS", tol=1e-6,
+        options={"maxiter": 50},
+    )
+    s, t = res.x[:E], res.x[E:]
+    aligned = depth * s.reshape(E, 1, 1, 1) + t.reshape(E, 1, 1, 1)
+    k = (E - 1) // 2
+    pred = np.partition(aligned, k, axis=0)[k : k + 1]
+    rng_ = max(pred.max() - pred.min(), 1e-6)
+    return (pred - pred.min()) / rng_
+
+
+def test_depth_alignment_recovers_consistent_map(rng):
+    gt, members = _make_ensemble(rng)
+    pred, unc = ensemble_depth(
+        jnp.asarray(members), output_uncertainty=True, max_res=1024
+    )
+    pred = np.asarray(pred)
+    assert pred.shape == (1,) + members.shape[1:]
+    assert pred.min() >= -1e-6 and pred.max() <= 1 + 1e-6
+    # after alignment the prediction must correlate ~1 with the GT structure
+    gt_n = (gt - gt.min()) / (gt.max() - gt.min())
+    corr = np.corrcoef(pred.ravel(), gt_n.ravel())[0, 1]
+    assert corr > 0.99, corr
+    assert np.asarray(unc).mean() < 0.1
+
+
+def test_depth_alignment_matches_oracle_cost(rng):
+    gt, members = _make_ensemble(rng, E=4, H=16, W=16)
+    pred_jax = np.asarray(ensemble_depth(jnp.asarray(members))[0])
+    pred_oracle = _oracle_ensemble_depth(members)
+    # both should be near-identical reconstructions after renormalization
+    err = np.abs(pred_jax - pred_oracle).mean()
+    assert err < 0.03, err
+
+
+def test_depth_scale_only_alignment(rng):
+    gt, members = _make_ensemble(rng)
+    members = np.abs(members)
+    pred, _ = ensemble_depth(
+        jnp.asarray(members), scale_invariant=True, shift_invariant=False
+    )
+    pred = np.asarray(pred)
+    assert pred.min() >= -1e-6 and pred.max() <= 1 + 1e-6
+
+
+def test_depth_ensemble_single_member_passthrough(rng):
+    d = rng.uniform(0, 1, (1, 8, 8, 1)).astype(np.float32)
+    pred, _ = ensemble_depth(jnp.asarray(d))
+    expected = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+    np.testing.assert_allclose(np.asarray(pred), expected, atol=1e-5)
+
+
+def test_lower_median_matches_torch_semantics():
+    x = jnp.asarray([[4.0], [1.0], [3.0], [2.0]])
+    # sorted: 1,2,3,4 -> lower median = 2 (torch), np.median would give 2.5
+    assert float(lower_median(x, axis=0)[0, 0]) == 2.0
+
+
+def test_normals_mean_reduction(rng):
+    E, H, W = 5, 8, 8
+    base = rng.normal(size=(1, H, W, 3))
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    members = base + rng.normal(0, 0.05, (E, H, W, 3))
+    members /= np.linalg.norm(members, axis=-1, keepdims=True)
+    pred, unc = ensemble_normals(
+        jnp.asarray(members, jnp.float32), output_uncertainty=True, reduction="mean"
+    )
+    pred = np.asarray(pred)
+    np.testing.assert_allclose(np.linalg.norm(pred, axis=-1), 1.0, atol=1e-5)
+    cos = (pred * base).sum(-1)
+    assert cos.min() > 0.98
+    assert 0 <= np.asarray(unc).mean() < 0.1
+
+
+def test_normals_closest_picks_a_member(rng):
+    E, H, W = 4, 4, 4
+    members = rng.normal(size=(E, H, W, 3)).astype(np.float32)
+    members /= np.linalg.norm(members, axis=-1, keepdims=True)
+    pred, _ = ensemble_normals(jnp.asarray(members), reduction="closest")
+    pred = np.asarray(pred)[0]
+    # every output pixel must be exactly one of the member vectors
+    for i in range(H):
+        for j in range(W):
+            dists = np.abs(members[:, i, j, :] - pred[i, j]).sum(-1)
+            assert dists.min() < 1e-6
+
+
+def test_iid_median_and_mad(rng):
+    x = rng.normal(size=(7, 6, 6, 4)).astype(np.float32)
+    pred, unc = ensemble_iid(jnp.asarray(x), output_uncertainty=True)
+    med = np.sort(x, axis=0)[3]
+    np.testing.assert_allclose(np.asarray(pred)[0], med, atol=1e-6)
+    mad = np.sort(np.abs(x - med[None]), axis=0)[3]
+    np.testing.assert_allclose(np.asarray(unc)[0], mad, atol=1e-6)
