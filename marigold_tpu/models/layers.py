@@ -1,0 +1,184 @@
+"""Functional NN building blocks for TPU (NHWC activations, HWIO kernels).
+
+Design: no module framework — parameters are nested dicts of jnp arrays
+whose keys mirror the diffusers module paths of the checkpoints we load
+(e.g. params["down_blocks"]["0"]["resnets"]["0"]["norm1"]["scale"]), so the
+safetensors loader is a mechanical name-split + layout transpose and parity
+with reference checkpoints is auditable key-by-key.
+
+Precision policy: matmuls/convs run in the params' dtype (bf16 on TPU, MXU
+native); GroupNorm/LayerNorm statistics and softmax run in fp32 ("fp32
+islands" — the reference keeps latents/loss fp32,
+src/trainer/marigold_depth_trainer.py:306,329; GN is the precision-sensitive
+op on TPU).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# ------------------------------------------------------------------ #
+# initializers (used for tests / training-from-scratch; checkpoints
+# normally overwrite these)
+
+
+def _split(key, n):
+    return jax.random.split(key, n)
+
+
+def init_linear(key, in_dim, out_dim, dtype=jnp.float32, bias=True):
+    k1, _ = _split(key, 2)
+    lim = 1.0 / math.sqrt(in_dim)
+    p = {
+        "weight": jax.random.uniform(k1, (in_dim, out_dim), dtype, -lim, lim)
+    }
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_conv(key, in_ch, out_ch, kernel=3, dtype=jnp.float32, bias=True):
+    k1, _ = _split(key, 2)
+    fan_in = in_ch * kernel * kernel
+    lim = 1.0 / math.sqrt(fan_in)
+    p = {
+        "weight": jax.random.uniform(
+            k1, (kernel, kernel, in_ch, out_ch), dtype, -lim, lim
+        )
+    }
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def init_norm(num_ch, dtype=jnp.float32):
+    return {"weight": jnp.ones((num_ch,), dtype), "bias": jnp.zeros((num_ch,), dtype)}
+
+
+# ------------------------------------------------------------------ #
+# core ops
+
+
+def linear(p, x):
+    y = jnp.dot(x, p["weight"], preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def conv2d(p, x, stride=1, padding=1):
+    """x: [B,H,W,Cin], weight: [Kh,Kw,Cin,Cout] (HWIO)."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(p, x, num_groups=32, eps=1e-6, act=None):
+    """GroupNorm over channel groups, stats in fp32. x: [B,H,W,C] (or [B,N,C]).
+    Optional fused activation ('silu') applied before downcast — XLA fuses
+    the whole thing into one VPU pass."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    c = shape[-1]
+    g = num_groups
+    xg = xf.reshape(shape[:-1] + (g, c // g))
+    red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+    var = jnp.var(xg, axis=red_axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg.reshape(shape)
+    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    if act == "silu":
+        xf = jax.nn.silu(xf)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def timestep_embedding(
+    t: jax.Array,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, matching the SD2 UNet's time_proj
+    semantics (flip_sin_to_cos=True, freq_shift=0). t: [B] -> [B, dim]."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Multi-head scaled dot-product attention. q: [B,Nq,C], k/v: [B,Nk,C].
+    Softmax in fp32 (TPU precision island). XLA fuses this well for the
+    short-KV cross-attention; long self-attention is routed to the Pallas
+    flash kernel by callers (ops/attention.py)."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    hd = c // num_heads
+    qh = q.reshape(b, nq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, nq, c)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """[B,H,W,C] -> [B,2H,2W,C] nearest (diffusers Upsample2D semantics)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def geglu(p, x):
+    """GEGLU feed-forward gate (diffusers FeedForward net.0): proj to 2*inner,
+    split, value * gelu(gate)."""
+    proj = linear(p, x)
+    value, gate = jnp.split(proj, 2, axis=-1)
+    return value * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(
+        x.dtype
+    )

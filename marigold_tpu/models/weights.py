@@ -1,0 +1,195 @@
+"""Checkpoint I/O: HF-diffusers safetensors <-> JAX param pytrees.
+
+The reference consumes `prs-eth/marigold-*-v1-1` checkpoints in diffusers
+pipeline layout (SURVEY.md §1 L0): a directory with model_index.json and
+subfolders unet/ vae/ text_encoder/ tokenizer/ scheduler/, each holding a
+config.json + *.safetensors in torch layouts. This module performs the
+layout translation to our NHWC/HWIO trees:
+
+  torch Conv   weight OIHW [out,in,kh,kw] -> HWIO [kh,kw,in,out]
+  torch Linear weight [out,in]            -> [in,out]
+  embeddings / norms / biases             -> unchanged
+
+and the name translation: tree keys equal the torch module path segments,
+plus a small alias table for historical diffusers VAE attention names
+(query/key/value/proj_attn -> to_q/to_k/to_v/to_out.0).
+
+Saving inverts the mapping so our training checkpoints remain loadable by
+the reference stack (checkpoint-compose contract, SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+from safetensors import safe_open
+from safetensors.numpy import save_file
+
+# historical diffusers VAE attention param names -> modern ones
+_VAE_ATTN_ALIASES = {
+    "query": "to_q",
+    "key": "to_k",
+    "value": "to_v",
+    "proj_attn": ("to_out", "0"),
+}
+
+_EMBEDDING_MARKERS = ("token_embedding", "position_embedding", "embeddings")
+
+
+def load_safetensors_flat(path: str) -> dict[str, np.ndarray]:
+    """Load all *.safetensors under `path` (single file, multiple shards, or
+    an index json) into one flat name->array dict."""
+    tensors: dict[str, np.ndarray] = {}
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".safetensors")
+        )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    for f in files:
+        with safe_open(f, framework="numpy") as st:
+            for k in st.keys():
+                tensors[k] = st.get_tensor(k)
+    return tensors
+
+
+def _is_embedding(path_parts: tuple[str, ...]) -> bool:
+    return any(m in path_parts for m in _EMBEDDING_MARKERS)
+
+
+def torch_to_tree(
+    flat: Mapping[str, np.ndarray],
+    dtype=None,
+    strip_prefix: str = "",
+) -> dict:
+    """Flat torch-named tensors -> nested JAX tree with layout transposes."""
+    tree: dict = {}
+    for name, arr in flat.items():
+        if strip_prefix and name.startswith(strip_prefix):
+            name = name[len(strip_prefix):]
+        parts = list(name.split("."))
+        # alias old VAE attention names
+        for i, p in enumerate(parts):
+            if p in _VAE_ATTN_ALIASES:
+                repl = _VAE_ATTN_ALIASES[p]
+                parts[i : i + 1] = list(repl) if isinstance(repl, tuple) else [repl]
+        leaf = parts[-1]
+        value = np.asarray(arr)
+        if leaf == "weight":
+            if value.ndim == 4:  # conv OIHW -> HWIO
+                value = value.transpose(2, 3, 1, 0)
+            elif value.ndim == 2 and not _is_embedding(tuple(parts)):
+                value = value.transpose(1, 0)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[leaf] = jnp.asarray(value, dtype=dtype)
+    return tree
+
+
+def tree_to_torch_flat(tree: Mapping[str, Any], prefix: str = "") -> dict[str, np.ndarray]:
+    """Inverse of torch_to_tree (for saving diffusers-compatible ckpts)."""
+    flat: dict[str, np.ndarray] = {}
+
+    def rec(node, path):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                rec(v, path + (k,))
+            return
+        value = np.asarray(node)
+        leaf = path[-1]
+        if leaf == "weight":
+            if value.ndim == 4:  # HWIO -> OIHW
+                value = value.transpose(3, 2, 0, 1)
+            elif value.ndim == 2 and not _is_embedding(path):
+                value = value.transpose(1, 0)
+        flat[prefix + ".".join(path)] = value
+
+    rec(tree, ())
+    return flat
+
+
+def save_safetensors_tree(tree: Mapping[str, Any], path: str, prefix: str = "") -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = tree_to_torch_flat(tree, prefix)
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()}, path)
+
+
+def read_config(dirpath: str, filename: str = "config.json") -> dict:
+    with open(os.path.join(dirpath, filename)) as f:
+        return json.load(f)
+
+
+def write_config(cfg: Mapping[str, Any], dirpath: str, filename: str = "config.json"):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, filename), "w") as f:
+        json.dump(dict(cfg), f, indent=2)
+
+
+# ------------------------------------------------------------------ #
+# component loaders
+
+
+def load_unet(subdir: str, dtype=None):
+    """unet/ dir -> (UNetConfig, params tree)."""
+    from marigold_tpu.models.unet import UNetConfig
+
+    cfg = UNetConfig.from_dict(read_config(subdir))
+    flat = load_safetensors_flat(subdir)
+    params = torch_to_tree(flat, dtype=dtype)
+    return cfg, params
+
+
+def load_vae(subdir: str, dtype=None):
+    from marigold_tpu.models.vae import VAEConfig
+
+    cfg = VAEConfig.from_dict(read_config(subdir))
+    flat = load_safetensors_flat(subdir)
+    params = torch_to_tree(flat, dtype=dtype)
+    return cfg, params
+
+
+def load_text_encoder(subdir: str, dtype=None):
+    from marigold_tpu.models.clip_text import CLIPTextConfig
+
+    cfg = CLIPTextConfig.from_dict(read_config(subdir))
+    flat = load_safetensors_flat(subdir)
+    params = torch_to_tree(flat, dtype=dtype, strip_prefix="text_model.")
+    # transformers also stores a text_projection for CLIPModel ckpts; drop
+    params.pop("text_projection", None)
+    return cfg, params
+
+
+def save_unet(cfg, params, subdir: str) -> None:
+    write_config(cfg.to_dict(), subdir)
+    save_safetensors_tree(
+        params, os.path.join(subdir, "diffusion_pytorch_model.safetensors")
+    )
+
+
+def save_vae(cfg, params, subdir: str) -> None:
+    write_config(cfg.to_dict(), subdir)
+    save_safetensors_tree(
+        params, os.path.join(subdir, "diffusion_pytorch_model.safetensors")
+    )
+
+
+def save_text_encoder(cfg, params, subdir: str) -> None:
+    write_config(cfg.to_dict(), subdir)
+    save_safetensors_tree(
+        params, os.path.join(subdir, "model.safetensors"), prefix="text_model."
+    )
+
+
+def cast_tree(tree, dtype):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)

@@ -1,0 +1,83 @@
+"""Attention dispatch: Pallas flash kernel for long self-attention on TPU,
+fused XLA einsum for short sequences (the length-2 empty-prompt
+cross-attention) and non-TPU backends.
+
+The threshold trades kernel-launch overhead against the O(N^2) HBM cost of
+materialized logits; above ~1024 tokens flash wins decisively on v5e.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_SEQ = 1024
+_DISABLE_FLASH = os.environ.get("MARIGOLD_TPU_DISABLE_FLASH", "0") == "1"
+
+
+def _on_tpu() -> bool:
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def use_flash(num_q: int, num_kv: int) -> bool:
+    if _DISABLE_FLASH:
+        return False
+    return _on_tpu() and num_q >= _FLASH_MIN_SEQ and num_kv >= _FLASH_MIN_SEQ
+
+
+def xla_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """[B,Nq,C] x [B,Nk,C] -> [B,Nq,C], fp32 softmax."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    hd = c // num_heads
+    qh = q.reshape(b, nq, num_heads, hd)
+    kh = k.reshape(b, nk, num_heads, hd)
+    vh = v.reshape(b, nk, num_heads, hd)
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh, preferred_element_type=q.dtype)
+    return out.reshape(b, nq, c)
+
+
+def scaled_dot_product_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dispatching attention used by the UNet transformer blocks."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    if mask is None and use_flash(nq, nk):
+        from marigold_tpu.ops.flash_attention import flash_attention
+
+        hd = c // num_heads
+        # [B,N,C] -> [B*H, N, hd]
+        def fold(x, n):
+            return (
+                x.reshape(b, n, num_heads, hd)
+                .transpose(0, 2, 1, 3)
+                .reshape(b * num_heads, n, hd)
+            )
+
+        out = flash_attention(fold(q, nq), fold(k, nk), fold(v, nk))
+        return (
+            out.reshape(b, num_heads, nq, hd)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, nq, c)
+        )
+    return xla_attention(q, k, v, num_heads, mask)

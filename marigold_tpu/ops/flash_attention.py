@@ -1,0 +1,138 @@
+"""Pallas TPU flash attention (forward) for the SD2 UNet self-attention.
+
+Why: at 768px processing resolution the UNet's finest self-attention runs
+over N = 96*96 = 9216 tokens; naive attention materializes [B,H,N,N]
+logits in HBM (gigabytes, HBM-bandwidth-bound). This kernel keeps K/V tiles
+in VMEM and computes an online-softmax over K blocks, so HBM traffic is
+O(N*D) — the standard flash-attention recipe tiled for the MXU
+(128-aligned blocks, fp32 accumulators, bf16 matmul inputs).
+
+Replaces the reference's xformers memory-efficient attention
+(script/depth/run.py:218, src/trainer/marigold_depth_trainer.py:96).
+
+Layout: q,k,v are [BH, N, D] (batch*heads folded); non-128-multiple N is
+handled by padding + masking padded K columns to -inf. Head dims up to 128
+supported (SD2 uses 64).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                  scale: float):
+    """Grid: (BH, N_pad // block_q). q_ref: [block_q, D]; k/v_ref: [N_pad, D]
+    (full row of K/V for this batch-head, VMEM-resident); o_ref: [block_q, D].
+    n_valid_ref: scalar-prefetch actual K length (masks padded columns)."""
+    n_valid = n_valid_ref[0]
+    n_pad = k_ref.shape[0]
+    block_q, d = q_ref.shape
+    num_kb = n_pad // block_k
+
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k]
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(col < n_valid, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m_fin, l_fin = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+
+    o_ref[:] = (acc / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """q: [BH, Nq, D], k/v: [BH, Nk, D] -> [BH, Nq, D].
+    Softmax scale = 1/sqrt(D). Forward only (inference path)."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    # Mosaic tiling wants the minor (head) dim 128-aligned. Zero-padding is
+    # exact: padded q/k lanes contribute 0 to logits, padded v lanes emit
+    # zeros we slice off.
+    d_pad = _round_up(d, 128)
+
+    block_q = min(block_q, _round_up(nq, 128))
+    block_k = min(block_k, _round_up(nk, 128))
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
+    n_valid = jnp.asarray([nk], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i, n: (b, i, 0)),
+            pl.BlockSpec((1, nk_pad, d_pad), lambda b, i, n: (b, 0, 0)),
+            pl.BlockSpec((1, nk_pad, d_pad), lambda b, i, n: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i, n: (b, i, 0)),
+    )
+
+    def kernel(n_ref, q_ref, k_ref, v_ref, o_ref):
+        _flash_kernel(
+            n_ref,
+            q_ref.at[0],
+            k_ref.at[0],
+            v_ref.at[0],
+            o_ref.at[0],
+            block_k=block_k,
+            scale=scale,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(n_valid, qp, kp, vp)
+
+    return out[:, :nq, :d]

@@ -153,6 +153,15 @@ def ensemble_depth(
         # BFGS can diverge on degenerate inputs; fall back to the init params.
         param = jnp.where(jnp.isfinite(res.x), res.x, x0)
         param = jnp.where(cost_fn(param) <= cost_fn(x0), param, x0)
+        # The pairwise cost is sign-symmetric (flipping every member's scale
+        # preserves it); canonicalize to the positive-orientation basin the
+        # reference's positive init implies.
+        if scale_invariant and shift_invariant:
+            s, t = param[:E], param[E:]
+            flip = jnp.mean(s) < 0
+            param = jnp.where(flip, jnp.concatenate([-s, 1.0 - t]), param)
+        else:
+            param = jnp.where(jnp.mean(param[:E]) < 0, -param, param)
         depth = apply_align(depth, param)
 
     pred, uncertainty = _reduce(depth, reduction, output_uncertainty)
