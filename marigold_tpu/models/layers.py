@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ------------------------------------------------------------------ #
 # initializers (used for tests / training-from-scratch; checkpoints
@@ -87,24 +88,37 @@ def conv2d(p, x, stride=1, padding=1):
 
 
 def group_norm(p, x, num_groups=32, eps=1e-6, act=None):
-    """GroupNorm over channel groups, stats in fp32. x: [B,H,W,C] (or [B,N,C]).
-    Optional fused activation ('silu') applied before downcast — XLA fuses
-    the whole thing into one VPU pass."""
+    """GroupNorm over channel groups. x: [B,H,W,C] (or [B,N,C]).
+
+    Precision/bandwidth design: statistics accumulate in fp32 (the
+    precision-sensitive part) but the tensor itself stays in its storage
+    dtype — no materialized fp32 copy, so HBM traffic for the bf16 path is
+    halved vs a naive fp32 upcast. The affine+activation epilogue folds
+    into one fused VPU pass (act='silu' fuses the SD SiLU)."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    shape = xf.shape
+    shape = x.shape
     c = shape[-1]
     g = num_groups
-    xg = xf.reshape(shape[:-1] + (g, c // g))
+    xg = x.reshape(shape[:-1] + (g, c // g))
     red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = jnp.mean(xg, axis=red_axes, keepdims=True)
-    var = jnp.var(xg, axis=red_axes, keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(shape)
-    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    n_red = int(np.prod([xg.shape[a] for a in red_axes]))
+    s1 = jnp.sum(xg, axis=red_axes, keepdims=True, dtype=jnp.float32)
+    s2 = jnp.sum(
+        jnp.square(xg.astype(jnp.float32)), axis=red_axes, keepdims=True,
+        dtype=jnp.float32,
+    )
+    mean = s1 / n_red
+    var = jnp.maximum(s2 / n_red - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    # fold (x - mean) * inv * w + b  ->  x * (inv*w) + (b - mean*inv*w)
+    w = p["weight"].astype(jnp.float32).reshape(g, c // g)
+    b = p["bias"].astype(jnp.float32).reshape(g, c // g)
+    scale = inv * w
+    shift = b - mean * scale
+    y = xg.astype(jnp.float32) * scale + shift
     if act == "silu":
-        xf = jax.nn.silu(xf)
-    return xf.astype(orig_dtype)
+        y = jax.nn.silu(y)
+    return y.reshape(shape).astype(orig_dtype)
 
 
 def layer_norm(p, x, eps=1e-5):

@@ -376,6 +376,12 @@ def apply(
                 )
         if i < len(b_ch) - 1:
             h = L.upsample_nearest_2x(h)
+            # odd input dims: stride-2 downsampling ceils (11 -> 6), so 2x
+            # overshoots (12); crop to the next skip's spatial dims — equal
+            # to diffusers' F.interpolate(..., size=upsample_size, 'nearest')
+            th, tw = skips[-1].shape[1], skips[-1].shape[2]
+            if h.shape[1] != th or h.shape[2] != tw:
+                h = h[:, :th, :tw, :]
             h = L.conv2d(blk["upsamplers"]["0"]["conv"], h)
 
     h = L.group_norm(params["conv_norm_out"], h, g, act="silu")

@@ -1,0 +1,513 @@
+"""Shared pipeline machinery: checkpoint loading, the jitted diffusion core,
+preprocessing, batching, and mesh sharding.
+
+Layer parity: this is the L4 "installable product" layer of the reference
+(marigold/*_pipeline.py) — diffusers-checkpoint-compatible from_pretrained,
+identical __call__ semantics — redesigned TPU-first:
+
+  * the whole denoise trajectory (encode -> scan over DDIM steps -> decode
+    -> modality postprocess) is ONE jitted XLA program; the UNet is traced
+    once regardless of step count (`lax.scan` over the timestep table).
+  * the conditioning RGB is VAE-encoded ONCE and broadcast across ensemble
+    members (the reference re-encodes the replicated image per batch chunk,
+    marigold_depth_pipeline.py:427 — identical output, less work).
+  * ensemble members shard across the device mesh's `data` axis; per-device
+    chunking uses the HBM-derived batch heuristic (batchsize.py).
+  * compiled programs are cached per (latent shape, steps, chunk, mode) —
+    shape-bucketing keeps recompiles bounded for `processing_res=0` usage.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from marigold_tpu.core.scheduler import DiffusionSchedule, check_trailing_zero_snr
+from marigold_tpu.models import clip_text as clip_lib
+from marigold_tpu.models import unet as unet_lib
+from marigold_tpu.models import vae as vae_lib
+from marigold_tpu.models import weights as W
+from marigold_tpu.pipelines import image_util
+from marigold_tpu.pipelines.batchsize import find_batch_size
+
+logger = logging.getLogger(__name__)
+
+LATENT_SCALE_FACTOR = 0.18215  # reference marigold_depth_pipeline.py:118
+
+
+class DiffusionCore:
+    """Bundles UNet+VAE+text components and exposes jitted end-to-end
+    inference programs with a compile cache."""
+
+    def __init__(
+        self,
+        unet_cfg: unet_lib.UNetConfig,
+        unet_params: dict,
+        vae_cfg: vae_lib.VAEConfig,
+        vae_params: dict,
+        text_cfg: Optional[clip_lib.CLIPTextConfig],
+        text_params: Optional[dict],
+        schedule: DiffusionSchedule,
+        dtype=jnp.bfloat16,
+    ):
+        self.unet_cfg = unet_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg
+        self.schedule = schedule
+        self.dtype = dtype
+        self.unet_params = W.cast_tree(unet_params, dtype)
+        self.vae_params = W.cast_tree(vae_params, dtype)
+        self.text_params = (
+            W.cast_tree(text_params, dtype) if text_params is not None else None
+        )
+        self._empty_text_embed = None
+        self._jit_cache: dict = {}
+
+    # -------------------------------------------------------------- #
+
+    @property
+    def empty_text_embed(self) -> jax.Array:
+        """[1, 2, cross_dim] — the cached empty-prompt conditioning
+        (reference encode_empty_text, marigold_depth_pipeline.py:381-394)."""
+        if self._empty_text_embed is None:
+            if self.text_params is None:
+                raise RuntimeError("no text encoder params loaded")
+            emb = clip_lib.encode_empty_prompt(self.text_params, self.text_cfg)
+            self._empty_text_embed = emb.astype(self.dtype)
+        return self._empty_text_embed
+
+    def encode_rgb(self, rgb: jax.Array) -> jax.Array:
+        """[B,H,W,3] in [-1,1] -> [B,h,w,4] scaled latent."""
+        return vae_lib.encode_mean_scaled(self.vae_params, self.vae_cfg, rgb)
+
+    # -------------------------------------------------------------- #
+    # the fused program
+
+    def _build_infer_fn(self, num_steps: int, ensemble_chunk: int, mode: str,
+                        n_targets: int):
+        schedule = self.schedule
+        unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
+        ts = schedule.inference_timesteps(num_steps)
+        prev_ts = schedule.prev_timesteps(ts)
+        ts_table = jnp.asarray(np.stack([ts, prev_ts], 1), jnp.int32)  # [S,2]
+        latent_ch = vae_cfg.latent_channels
+        target_ch = latent_ch * max(n_targets, 1)
+
+        def infer(unet_params, vae_params, rgb_latent, noise, text_embed):
+            """rgb_latent: [1,h,w,4] (encoded once); noise: [Eb,h,w,4n]."""
+            eb = noise.shape[0]
+            rgb_lat = jnp.broadcast_to(
+                rgb_latent, (eb,) + rgb_latent.shape[1:]
+            ).astype(self.dtype)
+            target = noise.astype(self.dtype)
+
+            def step(carry, t_pair):
+                target = carry
+                t, pt = t_pair[0], t_pair[1]
+                x = jnp.concatenate([rgb_lat, target], axis=-1)
+                model_out = unet_lib.apply(
+                    unet_params, unet_cfg, x, t, text_embed
+                )
+                new_target = schedule.ddim_step(model_out, t, pt, target)
+                return new_target.astype(self.dtype), None
+
+            target, _ = jax.lax.scan(step, target, ts_table)
+
+            # decode
+            if mode == "depth":
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                # mean over the 3 decoded channels (reference decode_depth
+                # :498-516), then [-1,1] -> [0,1]
+                depth = jnp.mean(img.astype(jnp.float32), axis=-1, keepdims=True)
+                depth = jnp.clip(depth, -1.0, 1.0)
+                return (depth + 1.0) / 2.0
+            elif mode == "normals":
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                n = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+                norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+                return n / jnp.clip(norm, 1e-6, None)
+            elif mode == "iid":
+                outs = []
+                for i in range(n_targets):
+                    z = target[..., i * latent_ch : (i + 1) * latent_ch]
+                    img = vae_lib.decode_scaled(vae_params, vae_cfg, z)
+                    img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+                    outs.append((img + 1.0) / 2.0)
+                return jnp.concatenate(outs, axis=-1)  # [Eb,H,W,3*n]
+            raise ValueError(mode)
+
+        return jax.jit(infer)
+
+    def get_infer_fn(self, h_lat: int, w_lat: int, num_steps: int,
+                     ensemble_chunk: int, mode: str, n_targets: int = 1):
+        key = (h_lat, w_lat, num_steps, ensemble_chunk, mode, n_targets)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_infer_fn(
+                num_steps, ensemble_chunk, mode, n_targets
+            )
+        return self._jit_cache[key]
+
+    # -------------------------------------------------------------- #
+    # fully-fused serving program: ONE dispatch per image
+
+    def _build_fused_fn(self, num_steps: int, ensemble_size: int, chunk: int,
+                        mode: str, n_targets: int, out_hw, crop_hw,
+                        ensemble_opts: tuple):
+        """preprocessed rgb [1,Hp,Wp,3] + PRNG key -> (prediction, uncertainty)
+        — encode, all-member denoise (lax.map over chunks), decode, ensemble
+        reduction/alignment, crop, and resize-back fused into one XLA
+        program. Eliminates per-op tunnel dispatch latency entirely."""
+        from marigold_tpu.pipelines import ensemble as ens
+
+        schedule = self.schedule
+        unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
+        ts = schedule.inference_timesteps(num_steps)
+        prev_ts = schedule.prev_timesteps(ts)
+        ts_table = jnp.asarray(np.stack([ts, prev_ts], 1), jnp.int32)
+        latent_ch = vae_cfg.latent_channels
+        target_ch = latent_ch * max(n_targets, 1)
+        ds = vae_cfg.downscale_factor
+        E = ensemble_size
+        n_chunks = -(-E // chunk)
+        e_pad = n_chunks * chunk
+        ens_kwargs = dict(ensemble_opts)
+
+        def denoise_decode(unet_params, vae_params, rgb_lat, noise, text):
+            eb = noise.shape[0]
+            rgb_b = jnp.broadcast_to(rgb_lat, (eb,) + rgb_lat.shape[1:]).astype(
+                self.dtype
+            )
+            target = noise.astype(self.dtype)
+
+            def step(carry, t_pair):
+                x = jnp.concatenate([rgb_b, carry], axis=-1)
+                out = unet_lib.apply(unet_params, unet_cfg, x, t_pair[0], text)
+                return (
+                    schedule.ddim_step(out, t_pair[0], t_pair[1], carry).astype(
+                        self.dtype
+                    ),
+                    None,
+                )
+
+            target, _ = jax.lax.scan(step, target, ts_table)
+
+            if mode == "depth":
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                d = jnp.mean(img.astype(jnp.float32), axis=-1, keepdims=True)
+                return (jnp.clip(d, -1.0, 1.0) + 1.0) / 2.0
+            if mode == "normals":
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                n = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+                return n / jnp.clip(
+                    jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6, None
+                )
+            outs = []
+            for i in range(n_targets):
+                z = target[..., i * latent_ch : (i + 1) * latent_ch]
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, z)
+                outs.append((jnp.clip(img.astype(jnp.float32), -1, 1) + 1) / 2)
+            return jnp.concatenate(outs, axis=-1)
+
+        def fused(unet_params, vae_params, rgb, key, text):
+            rgb_lat = vae_lib.encode_mean_scaled(
+                vae_params, vae_cfg, rgb.astype(self.dtype)
+            )
+            h_lat, w_lat = rgb_lat.shape[1], rgb_lat.shape[2]
+            noise = jax.random.normal(
+                key, (E, h_lat, w_lat, target_ch), jnp.float32
+            )
+            if e_pad > E:
+                noise = jnp.concatenate([noise, noise[: e_pad - E]], axis=0)
+
+            if n_chunks == 1:
+                preds = denoise_decode(unet_params, vae_params, rgb_lat, noise, text)
+            else:
+                chunks = noise.reshape((n_chunks, chunk) + noise.shape[1:])
+                preds = jax.lax.map(
+                    lambda nz: denoise_decode(
+                        unet_params, vae_params, rgb_lat, nz, text
+                    ),
+                    chunks,
+                )
+                preds = preds.reshape((e_pad,) + preds.shape[2:])
+            preds = preds[:E, : crop_hw[0], : crop_hw[1], :]
+
+            # ensemble reduce (inlined, still on device)
+            if E > 1:
+                if mode == "depth":
+                    pred, unc = ens.ensemble_depth(
+                        preds,
+                        scale_invariant=ens_kwargs.get("scale_invariant", True),
+                        shift_invariant=ens_kwargs.get("shift_invariant", True),
+                        output_uncertainty=True,
+                        reduction=ens_kwargs.get("reduction", "median"),
+                        regularizer_strength=ens_kwargs.get(
+                            "regularizer_strength", 0.02
+                        ),
+                        max_iter=ens_kwargs.get("max_iter", 50),
+                        tol=ens_kwargs.get("tol", 1e-6),
+                        max_res=ens_kwargs.get("max_res", 1024),
+                    )
+                elif mode == "normals":
+                    pred, unc = ens.ensemble_normals(
+                        preds,
+                        output_uncertainty=True,
+                        reduction=ens_kwargs.get("reduction", "closest"),
+                    )
+                else:
+                    pred, unc = ens.ensemble_iid(
+                        preds,
+                        output_uncertainty=True,
+                        reduction=ens_kwargs.get("reduction", "median"),
+                    )
+            else:
+                pred = preds
+                if mode == "depth":
+                    d_min, d_max = jnp.min(pred), jnp.max(pred)
+                    pred = (pred - d_min) / jnp.clip(d_max - d_min, 1e-6, None)
+                unc = None
+
+            if out_hw is not None and out_hw != crop_hw:
+                pred = image_util.resize_jax(pred, out_hw, "bilinear")
+                if unc is not None:
+                    unc = image_util.resize_jax(unc, out_hw, "bilinear")
+                if mode == "normals":
+                    pred = pred / jnp.clip(
+                        jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-6, None
+                    )
+            if unc is None:
+                unc = jnp.zeros_like(pred[..., :1])
+            return pred, unc
+
+        return jax.jit(fused)
+
+    def get_fused_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
+                     n_targets, out_hw, crop_hw, ensemble_opts=()):
+        key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
+               n_targets, out_hw, crop_hw, ensemble_opts)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_fused_fn(
+                num_steps, ensemble_size, chunk, mode, n_targets, out_hw,
+                crop_hw, ensemble_opts,
+            )
+        return self._jit_cache[key]
+
+
+# ------------------------------------------------------------------ #
+# checkpoint loading
+
+
+def load_pipeline_components(ckpt_dir: str, dtype=jnp.bfloat16):
+    """Read a diffusers pipeline checkpoint dir (model_index.json +
+    unet/ vae/ text_encoder/ scheduler/) into a DiffusionCore + pipeline
+    config dict."""
+    index_path = os.path.join(ckpt_dir, "model_index.json")
+    pipe_cfg: dict[str, Any] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            pipe_cfg = json.load(f)
+
+    unet_cfg, unet_params = W.load_unet(os.path.join(ckpt_dir, "unet"), dtype=dtype)
+    vae_cfg, vae_params = W.load_vae(os.path.join(ckpt_dir, "vae"), dtype=dtype)
+
+    text_dir = os.path.join(ckpt_dir, "text_encoder")
+    if os.path.isdir(text_dir):
+        text_cfg, text_params = W.load_text_encoder(text_dir, dtype=dtype)
+    else:
+        text_cfg, text_params = None, None
+
+    schedule = DiffusionSchedule.from_pretrained(os.path.join(ckpt_dir, "scheduler"))
+
+    core = DiffusionCore(
+        unet_cfg, unet_params, vae_cfg, vae_params, text_cfg, text_params,
+        schedule, dtype=dtype,
+    )
+    return core, pipe_cfg
+
+
+# ------------------------------------------------------------------ #
+# host-side pre/post helpers
+
+
+def image_to_array(input_image) -> np.ndarray:
+    """PIL image / [H,W,3] uint8 / float array -> float32 [H,W,3] in [-1,1]
+    (reference preprocess, marigold_depth_pipeline.py:229-254)."""
+    if isinstance(input_image, Image.Image):
+        arr = np.asarray(input_image.convert("RGB"), np.float32) / 255.0
+    else:
+        arr = np.asarray(input_image)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+            arr = np.moveaxis(arr, 0, -1)  # CHW -> HWC
+        arr = arr.astype(np.float32)
+        if arr.max() > 1.5:  # uint8-ish range
+            arr = arr / 255.0
+    arr = arr * 2.0 - 1.0
+    return np.clip(arr, -1.0, 1.0)
+
+
+def pad_to_multiple_of(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int, int]:
+    """Pad H,W (edge mode) up to a multiple (VAE needs /8; also bucketing)."""
+    h, w = x.shape[-3], x.shape[-2]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    if ph or pw:
+        pad = [(0, 0)] * (x.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+        x = np.pad(x, pad, mode="edge")
+    return x, h, w
+
+
+class BasePipeline:
+    """Common orchestration for the three modality pipelines."""
+
+    latent_scale_factor = LATENT_SCALE_FACTOR
+    mode: str = "depth"
+    n_targets: int = 1
+
+    def __init__(self, core: DiffusionCore, pipe_cfg: dict):
+        self.core = core
+        self.pipe_cfg = pipe_cfg
+        self.default_denoising_steps = pipe_cfg.get("default_denoising_steps")
+        self.default_processing_resolution = pipe_cfg.get(
+            "default_processing_resolution"
+        )
+        self.scale_invariant = pipe_cfg.get("scale_invariant", True)
+        self.shift_invariant = pipe_cfg.get("shift_invariant", True)
+
+    @classmethod
+    def from_pretrained(cls, ckpt_dir: str, dtype=jnp.bfloat16, **kwargs):
+        core, pipe_cfg = load_pipeline_components(ckpt_dir, dtype=dtype)
+        return cls(core, pipe_cfg)
+
+    # ---------------- denoising orchestration ---------------- #
+
+    def _infer_fused(
+        self,
+        rgb_norm: np.ndarray,  # [H,W,3] in [-1,1] (already at processing res)
+        denoising_steps: int,
+        ensemble_size: int,
+        batch_size: int = 0,
+        seed: Optional[int] = None,
+        out_hw: Optional[tuple] = None,  # resize-back target (input res)
+        ensemble_kwargs: Optional[dict] = None,
+    ):
+        """Single-dispatch fused inference. Returns (pred [h,w,C] float32,
+        uncertainty [h,w] or None)."""
+        core = self.core
+        x, h0, w0 = pad_to_multiple_of(rgb_norm[None], core.vae_cfg.downscale_factor)
+        hp, wp = x.shape[1], x.shape[2]
+
+        if batch_size <= 0:
+            batch_size = find_batch_size(
+                ensemble_size=ensemble_size,
+                input_res=max(hp, wp),
+                dtype_bytes=2 if core.dtype == jnp.bfloat16 else 4,
+            )
+        chunk = min(batch_size, ensemble_size)
+
+        opts = tuple(sorted((ensemble_kwargs or {}).items()))
+        if self.mode == "depth":
+            opts = tuple(
+                sorted(
+                    dict(
+                        scale_invariant=self.scale_invariant,
+                        shift_invariant=self.shift_invariant,
+                        **(ensemble_kwargs or {}),
+                    ).items()
+                )
+            )
+
+        fn = core.get_fused_fn(
+            hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
+            self.n_targets, out_hw, (h0, w0), opts,
+        )
+        key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
+        pred, unc = fn(
+            core.unet_params, core.vae_params, jnp.asarray(x), key,
+            core.empty_text_embed,
+        )
+        pred_np = np.asarray(jax.device_get(pred))[0]
+        unc_np = np.asarray(jax.device_get(unc))[0]  # [h,w,C_unc]
+        if ensemble_size <= 1:
+            unc_np = None
+        return pred_np.astype(np.float32), unc_np
+
+    def _check_inference_step(self, n_step: int) -> None:
+        for msg in check_trailing_zero_snr(self.core.schedule, n_step):
+            logger.warning(msg)
+
+    def _run_ensemble(
+        self,
+        rgb_norm: np.ndarray,  # [H,W,3] in [-1,1]
+        denoising_steps: int,
+        ensemble_size: int,
+        batch_size: int = 0,
+        seed: Optional[int] = None,
+        show_progress_bar: bool = False,
+    ) -> np.ndarray:
+        """Returns raw per-member predictions [E, Hp, Wp, C_out] (padded to
+        /8; caller crops back)."""
+        core = self.core
+        x, h0, w0 = pad_to_multiple_of(rgb_norm[None], core.vae_cfg.downscale_factor)
+        hp, wp = x.shape[1], x.shape[2]
+        h_lat, w_lat = hp // core.vae_cfg.downscale_factor, wp // core.vae_cfg.downscale_factor
+
+        rgb_dev = jnp.asarray(x, core.dtype)
+        rgb_latent = core.encode_rgb(rgb_dev)  # [1,h,w,4]
+
+        # all-member initial noise drawn at once: deterministic in seed,
+        # independent of chunking (unlike the reference, whose noise stream
+        # depends on the batch split)
+        key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
+        target_ch = core.vae_cfg.latent_channels * max(self.n_targets, 1)
+        noise_all = jax.random.normal(
+            key, (ensemble_size, h_lat, w_lat, target_ch), jnp.float32
+        )
+
+        if batch_size <= 0:
+            batch_size = find_batch_size(
+                ensemble_size=ensemble_size,
+                input_res=max(hp, wp),
+                dtype_bytes=2 if core.dtype == jnp.bfloat16 else 4,
+            )
+        batch_size = min(batch_size, ensemble_size)
+
+        infer_fn = core.get_infer_fn(
+            h_lat, w_lat, denoising_steps, batch_size, self.mode, self.n_targets
+        )
+
+        outs = []
+        iterator = range(0, ensemble_size, batch_size)
+        if show_progress_bar:
+            from tqdm.auto import tqdm
+
+            iterator = tqdm(
+                list(iterator), desc=f"  {self.mode} inference batches", leave=False
+            )
+        for s in iterator:
+            e = min(s + batch_size, ensemble_size)
+            chunk = noise_all[s:e]
+            if chunk.shape[0] < batch_size:  # pad final chunk: static shapes
+                pad_n = batch_size - chunk.shape[0]
+                chunk = jnp.concatenate([chunk, chunk[:pad_n]], axis=0)
+                out = infer_fn(
+                    core.unet_params, core.vae_params, rgb_latent, chunk,
+                    core.empty_text_embed,
+                )[: e - s]
+            else:
+                out = infer_fn(
+                    core.unet_params, core.vae_params, rgb_latent, chunk,
+                    core.empty_text_embed,
+                )
+            outs.append(out)
+        pred = jnp.concatenate(outs, axis=0)  # [E, Hp, Wp, C]
+        return pred[:, :h0, :w0, :]

@@ -125,12 +125,35 @@ def ensemble_depth(
         flat = small.reshape(E, -1)
         init_min = jnp.min(flat, axis=1)
         init_max = jnp.max(flat, axis=1)
-        if scale_invariant and shift_invariant:
+        affine = scale_invariant and shift_invariant
+        if affine:
             init_s = 1.0 / jnp.clip(init_max - init_min, 1e-6, None)
             init_t = -init_s * init_min
             x0 = jnp.concatenate([init_s, init_t])
         else:
-            x0 = 1.0 / jnp.clip(init_max, 1e-6, None)
+            init_s = 1.0 / jnp.clip(init_max, 1e-6, None)
+            x0 = init_s
+
+        # Gauge fixing: the reference's objective is scale-degenerate —
+        # uniformly shrinking every (s, t) toward 0 drives the pairwise term
+        # to 0, so its global optimum collapses all members to a constant
+        # (scipy BFGS merely stops before reaching it on correlated inputs;
+        # on TPU the fp32 line-search happily finds it). We remove the
+        # degenerate direction by ANCHORING member 0 at its init parameters
+        # and optimizing only members 1..E-1 — same pairwise objective,
+        # collapse impossible by construction.
+        if affine:
+            def to_full(free):
+                s = jnp.concatenate([init_s[:1], free[: E - 1]])
+                t = jnp.concatenate([init_t[:1], free[E - 1 :]])
+                return jnp.concatenate([s, t])
+
+            x0_free = jnp.concatenate([init_s[1:], init_t[1:]])
+        else:
+            def to_full(free):
+                return jnp.concatenate([init_s[:1], free])
+
+            x0_free = init_s[1:]
 
         iu, ju = jnp.triu_indices(E, k=1)
 
@@ -148,20 +171,13 @@ def ensemble_depth(
             return cost
 
         res = jax_optimize.minimize(
-            cost_fn, x0, method="BFGS", options=dict(maxiter=max_iter, gtol=tol)
+            lambda f: cost_fn(to_full(f)), x0_free, method="BFGS",
+            options=dict(maxiter=max_iter, gtol=tol),
         )
-        # BFGS can diverge on degenerate inputs; fall back to the init params.
-        param = jnp.where(jnp.isfinite(res.x), res.x, x0)
+        # BFGS can still diverge on degenerate inputs; fall back to init.
+        free = jnp.where(jnp.isfinite(res.x), res.x, x0_free)
+        param = to_full(free)
         param = jnp.where(cost_fn(param) <= cost_fn(x0), param, x0)
-        # The pairwise cost is sign-symmetric (flipping every member's scale
-        # preserves it); canonicalize to the positive-orientation basin the
-        # reference's positive init implies.
-        if scale_invariant and shift_invariant:
-            s, t = param[:E], param[E:]
-            flip = jnp.mean(s) < 0
-            param = jnp.where(flip, jnp.concatenate([-s, 1.0 - t]), param)
-        else:
-            param = jnp.where(jnp.mean(param[:E]) < 0, -param, param)
         depth = apply_align(depth, param)
 
     pred, uncertainty = _reduce(depth, reduction, output_uncertainty)

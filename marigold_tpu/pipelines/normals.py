@@ -1,2 +1,89 @@
-class MarigoldNormalsPipeline: pass
-class MarigoldNormalsOutput: pass
+"""Marigold surface-normals pipeline — TPU-native.
+
+API parity: reference MarigoldNormalsPipeline.__call__
+(marigold/marigold_normals_pipeline.py:139-308): RGB -> unit-norm normal
+map in [-1,1]^3; decode clips + L2-normalizes per pixel (438-440); ensemble
+default reduction "closest"; uncertainty = mean angular deviation / pi.
+No scale/shift invariance. (The reference rejects LCM schedulers for
+normals, 338-342 — we only ship DDIM.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, Optional, Union
+
+import numpy as np
+from PIL import Image
+
+from marigold_tpu.pipelines import image_util
+from marigold_tpu.pipelines.base import BasePipeline, image_to_array
+from marigold_tpu.pipelines.ensemble import ensemble_normals
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class MarigoldNormalsOutput:
+    """normals_np: [H,W,3] float32 unit vectors in [-1,1];
+    normals_img: PIL visualization; uncertainty: [H,W] in [0,1] or None."""
+
+    normals_np: np.ndarray
+    normals_img: Optional[Image.Image]
+    uncertainty: Optional[np.ndarray]
+
+
+class MarigoldNormalsPipeline(BasePipeline):
+    mode = "normals"
+    n_targets = 1
+
+    def __call__(
+        self,
+        input_image: Union[Image.Image, np.ndarray],
+        denoising_steps: Optional[int] = None,
+        ensemble_size: int = 1,
+        processing_res: Optional[int] = None,
+        match_input_res: bool = True,
+        resample_method: str = "bilinear",
+        batch_size: int = 0,
+        generator: Optional[int] = None,
+        seed: Optional[int] = None,
+        show_progress_bar: bool = True,
+        ensemble_kwargs: Optional[Dict] = None,
+    ) -> MarigoldNormalsOutput:
+        if denoising_steps is None:
+            denoising_steps = self.default_denoising_steps or 4
+        if processing_res is None:
+            processing_res = self.default_processing_resolution or 768
+        assert processing_res >= 0
+        assert ensemble_size >= 1
+        self._check_inference_step(denoising_steps)
+
+        if seed is None and generator is not None:
+            seed = int(generator)
+
+        rgb_norm = image_to_array(input_image)
+        input_h, input_w = rgb_norm.shape[:2]
+        if processing_res > 0 and max(input_h, input_w) != processing_res:
+            nh, nw = image_util.resize_max_res_shape(input_h, input_w, processing_res)
+            rgb_norm = image_util.resize_np(rgb_norm, (nh, nw), method=resample_method)
+
+        out_hw = (input_h, input_w) if match_input_res else None
+        normals, uncert = self._infer_fused(
+            rgb_norm,
+            denoising_steps=denoising_steps,
+            ensemble_size=ensemble_size,
+            batch_size=batch_size,
+            seed=seed,
+            out_hw=out_hw,
+            ensemble_kwargs=ensemble_kwargs,
+        )
+        if uncert is not None:
+            uncert = uncert[..., 0]
+        normals = np.clip(normals, -1.0, 1.0).astype(np.float32)
+        normals_img = Image.fromarray(image_util.norm_to_rgb(normals))
+
+        return MarigoldNormalsOutput(
+            normals_np=normals, normals_img=normals_img, uncertainty=uncert
+        )

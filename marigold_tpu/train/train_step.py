@@ -1,0 +1,185 @@
+"""The pjit training step: frozen-VAE latent diffusion fine-tuning.
+
+Behavioral reference: MarigoldDepthTrainer.train's inner loop
+(src/trainer/marigold_depth_trainer.py:240-352): VAE-encode RGB + GT (no
+grad), per-sample random timestep, (optionally annealed multi-res) noise,
+DDPM add_noise, UNet forward, target per prediction_type, latent MSE masked
+by the 8x-maxpooled valid mask, gradient accumulation, Adam + exponential
+LR.
+
+TPU-first design:
+  * one jitted `train_step(state, batch, key)`; gradient accumulation via
+    `optax.MultiSteps` (stateful, inside the optimizer — no Python-side
+    accumulation loop).
+  * data parallelism by construction: batch arrays sharded on the leading
+    axis over the mesh's `data` axis, params/opt state replicated; XLA
+    inserts the psum gradient all-reduce from the sharding annotations
+    (SURVEY.md §2.6 "TPU-native equivalents").
+  * loss/latents fp32 (reference keeps them fp32 at lines 306, 329-334)
+    while the UNet matmuls run in the param dtype (bf16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from marigold_tpu.core.scheduler import DiffusionSchedule
+from marigold_tpu.models import unet as unet_lib
+from marigold_tpu.models import vae as vae_lib
+from marigold_tpu.train.loss import get_loss
+from marigold_tpu.train.multi_res_noise import multi_res_noise_like
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array  # effective (optimizer) step count tracking
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def downsample_valid_mask(valid_mask: jax.Array, factor: int = 8) -> jax.Array:
+    """[B,H,W,1] bool -> [B,H/f,W/f,1]: a latent pixel is valid iff NO
+    invalid pixel falls in its receptive window (reference max-pools the
+    invalid mask, marigold_depth_trainer.py:245-251)."""
+    invalid = (~valid_mask).astype(jnp.float32)
+    pooled = jax.lax.reduce_window(
+        invalid,
+        0.0,
+        jax.lax.max,
+        (1, factor, factor, 1),
+        (1, factor, factor, 1),
+        "VALID",
+    )
+    return pooled < 0.5
+
+
+def make_train_step(
+    unet_cfg: unet_lib.UNetConfig,
+    vae_cfg: vae_lib.VAEConfig,
+    schedule: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    loss_name: str = "mse_loss",
+    multi_res_noise_cfg: Optional[dict] = None,
+    use_mask: bool = True,
+) -> Callable:
+    """Returns train_step(state, vae_params, text_embed, batch, key) ->
+    (state, metrics). batch: dict with rgb_norm [B,H,W,3], target gt
+    [B,H,W,3] (depth stacked to 3ch / normals / per-target concat), and
+    optional valid_mask [B,H,W,1] bool."""
+    loss_fn_inner = get_loss(loss_name)
+    n_latent = vae_cfg.latent_channels
+    ds = vae_cfg.downscale_factor
+
+    def train_step(state: TrainState, vae_params, text_embed, batch, key):
+        rgb = batch["rgb_norm"]
+        gt = batch["gt_norm"]
+        bsz = rgb.shape[0]
+        k_t, k_noise = jax.random.split(key)
+
+        # frozen encoders — no gradient flows into the VAE
+        rgb_latent = vae_lib.encode_mean_scaled(vae_params, vae_cfg, rgb)
+        n_groups = gt.shape[-1] // 3
+        if n_groups <= 1:
+            gt_latent = vae_lib.encode_mean_scaled(vae_params, vae_cfg, gt)
+        else:  # IID: encode each 3-channel target, concat latents
+            gt_latent = jnp.concatenate(
+                [
+                    vae_lib.encode_mean_scaled(
+                        vae_params, vae_cfg, gt[..., 3 * i : 3 * i + 3]
+                    )
+                    for i in range(n_groups)
+                ],
+                axis=-1,
+            )
+        rgb_latent = jax.lax.stop_gradient(rgb_latent)
+        gt_latent = jax.lax.stop_gradient(gt_latent.astype(jnp.float32))
+
+        timesteps = jax.random.randint(
+            k_t, (bsz,), 0, schedule.num_train_timesteps
+        )
+
+        if multi_res_noise_cfg is not None:
+            strength = jnp.asarray(
+                multi_res_noise_cfg.get("strength", 0.9), jnp.float32
+            )
+            if multi_res_noise_cfg.get("annealed", False):
+                strength = strength * (
+                    timesteps.astype(jnp.float32) / schedule.num_train_timesteps
+                )
+            else:
+                strength = jnp.broadcast_to(strength, (bsz,))
+            noise = multi_res_noise_like(
+                k_noise, gt_latent, strength,
+                multi_res_noise_cfg.get("downscale_strategy", "original"),
+            )
+        else:
+            noise = jax.random.normal(k_noise, gt_latent.shape, jnp.float32)
+
+        noisy_latents = schedule.add_noise(gt_latent, noise, timesteps)
+        target = schedule.training_target(gt_latent, noise, timesteps)
+
+        if use_mask and "valid_mask" in batch:
+            mask_lat = downsample_valid_mask(batch["valid_mask"], ds)
+            mask_lat = jnp.repeat(mask_lat, gt_latent.shape[-1], axis=-1)
+        else:
+            mask_lat = None
+
+        def loss_of(params):
+            x = jnp.concatenate(
+                [rgb_latent, noisy_latents.astype(rgb_latent.dtype)], axis=-1
+            )
+            pred = unet_lib.apply(params, unet_cfg, x, timesteps, text_embed)
+            pred = pred.astype(jnp.float32)
+            if mask_lat is not None:
+                diff = loss_fn_inner(pred, target, reduction="none")
+                n = jnp.maximum(jnp.sum(mask_lat), 1)
+                return jnp.sum(jnp.where(mask_lat, diff, 0.0)) / n
+            return loss_fn_inner(pred, target, reduction="mean")
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_optimizer(
+    lr: float,
+    lr_schedule_fn: Optional[Callable] = None,
+    accumulation_steps: int = 1,
+) -> optax.GradientTransformation:
+    """Adam(+schedule) with optional gradient accumulation (the reference's
+    effective-batch-32 = 2 x 16 accumulation, train_marigold_depth.yaml:29)."""
+    if lr_schedule_fn is not None:
+        sched = lambda step: lr * lr_schedule_fn(step)
+    else:
+        sched = lr
+    opt = optax.adam(sched)
+    if accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
+    return opt

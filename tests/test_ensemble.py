@@ -172,3 +172,14 @@ def test_iid_median_and_mad(rng):
     np.testing.assert_allclose(np.asarray(pred)[0], med, atol=1e-6)
     mad = np.sort(np.abs(x - med[None]), axis=0)[3]
     np.testing.assert_allclose(np.asarray(unc)[0], mad, atol=1e-6)
+
+
+def test_depth_ensemble_output_spans_unit_range(rng):
+    """Renorm contract: the reduced prediction spans exactly [0,1] — this
+    regressed on TPU when the solver hit the collapse optimum (fixed by
+    anchoring member 0's gauge)."""
+    gt, members = _make_ensemble(rng, E=5, H=24, W=24, noise=0.02)
+    pred, _ = ensemble_depth(jnp.asarray(members), output_uncertainty=True)
+    pred = np.asarray(pred)
+    assert abs(pred.max() - 1.0) < 1e-5, pred.max()
+    assert abs(pred.min()) < 1e-6, pred.min()
