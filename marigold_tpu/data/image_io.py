@@ -1,0 +1,76 @@
+"""Host-side image IO for the data layer.
+
+Behavioral reference: src/util/image_util.py:99-128 — PNG via PIL
+(normalized to [0,1]), HDR .exr via OpenCV (OPENCV_IO_ENABLE_OPENEXR),
+reading from plain files or tar members; sRGB<->linear gamma 2.2.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+import numpy as np
+from PIL import Image
+
+HDR_EXTENSIONS = (".exr", ".hdr")
+
+
+def is_hdr(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() in HDR_EXTENSIONS
+
+
+def img_linear2srgb(img: np.ndarray) -> np.ndarray:
+    return np.clip(img, 0.0, None) ** (1.0 / 2.2)
+
+
+def img_srgb2linear(img: np.ndarray) -> np.ndarray:
+    return np.clip(img, 0.0, None) ** 2.2
+
+
+def _decode_exr_bytes(data: bytes) -> np.ndarray:
+    import tempfile
+
+    import cv2
+
+    # cv2.imdecode does not support EXR streams on all builds; go via file
+    with tempfile.NamedTemporaryFile(suffix=".exr", delete=False) as f:
+        f.write(data)
+        tmp = f.name
+    try:
+        img = cv2.imread(tmp, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+    finally:
+        os.unlink(tmp)
+    if img is None:
+        raise IOError("failed to decode EXR data")
+    if img.ndim == 3 and img.shape[-1] == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(img.astype(np.float32))
+
+
+def decode_image_bytes(data: bytes, path_hint: str = "") -> np.ndarray:
+    """bytes -> [H,W,C] (or [H,W]) float array in [0,1] (LDR) or linear
+    radiance (HDR). Mirrors reference read_img_from_file/tar semantics."""
+    if is_hdr(path_hint):
+        img = _decode_exr_bytes(data)
+        return np.clip(img, 0.0, 1.0) if img.max() <= 1.0 + 1e-6 else np.clip(
+            img, 0.0, None
+        )
+    img = np.asarray(Image.open(io.BytesIO(data)))
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    if img.dtype == np.uint16:
+        return img.astype(np.float32) / 65535.0
+    return img.astype(np.float32)
+
+
+def read_img_from_file(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode_image_bytes(f.read(), path)
+
+
+def read_img_from_tar(tar_obj, rel_path: str) -> np.ndarray:
+    member = tar_obj.extractfile("./" + rel_path)
+    return decode_image_bytes(member.read(), rel_path)

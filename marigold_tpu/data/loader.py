@@ -1,0 +1,110 @@
+"""Batching data loader (torch-free) with resumable iteration.
+
+Role parity: torch DataLoader + the reference's `skip_first_batches`
+mid-epoch-resume helper (src/util/data_loader.py:54-140). The host is the
+bottleneck-free side on TPU (single Python process feeding one chip over a
+queue); a background thread prefetches while the device computes.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(samples: Sequence[dict]) -> dict:
+    """Stack numpy leaves along a new batch dim; pass through non-arrays as
+    lists."""
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        first = vals[0]
+        if isinstance(first, np.ndarray):
+            out[k] = np.stack(vals, 0)
+        elif isinstance(first, (int, float, np.integer, np.floating, bool)):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        batch_sampler=None,
+        drop_last: bool = False,
+        seed: Optional[int] = None,
+        collate_fn=default_collate,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.batch_sampler = batch_sampler
+        self.drop_last = drop_last
+        self.rng = random.Random(seed)
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+        self._skip = 0
+
+    def _batches(self) -> Iterable[list]:
+        if self.batch_sampler is not None:
+            yield from self.batch_sampler
+            return
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for s in range(0, len(idx), self.batch_size):
+            batch = idx[s : s + self.batch_size]
+            if self.drop_last and len(batch) < self.batch_size:
+                return
+            yield batch
+
+    def skip_first_batches(self, n: int) -> "DataLoader":
+        """Resume mid-epoch: the next iteration skips its first n batches
+        (contract of reference skip_first_batches, data_loader.py:54-97)."""
+        self._skip = n
+        return self
+
+    def __len__(self):
+        if self.batch_sampler is not None:
+            return len(self.batch_sampler)
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        skip = self._skip
+        self._skip = 0
+
+        def produce(q: queue.Queue):
+            try:
+                for bi, batch_idx in enumerate(self._batches()):
+                    if bi < skip:
+                        continue
+                    samples = [self.dataset[i] for i in batch_idx]
+                    q.put(("item", self.collate_fn(samples)))
+            except Exception as e:  # propagate to consumer
+                q.put(("error", e))
+            finally:
+                q.put(("end", None))
+
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            kind, payload = q.get()
+            if kind == "item":
+                yield payload
+            elif kind == "error":
+                raise payload
+            else:
+                return

@@ -1,0 +1,359 @@
+"""Data layer tests over synthetic on-disk mini-datasets (dir and tar)."""
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from marigold_tpu.config import Config, recursive_load_config, merge_configs
+from marigold_tpu.data import (
+    DataLoader,
+    DatasetMode,
+    DepthFileNameMode,
+    ConcatDataset,
+    MixedBatchSampler,
+    get_dataset,
+    get_pred_name,
+)
+from marigold_tpu.utils.depth_transform import ScaleShiftDepthNormalizer
+
+
+# ---------------- fixtures ---------------- #
+
+
+def _write_png(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def nyu_tree(tmp_path, rng):
+    """NYU-style: rgb uint8 + depth uint16 (mm) + filled."""
+    root = tmp_path / "nyu"
+    names = []
+    for i in range(4):
+        rgb = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        depth_mm = rng.integers(500, 9000, (480, 640), dtype=np.uint16)
+        _write_png(str(root / f"rgb_{i:05d}.png"), rgb)
+        _write_png(str(root / f"depth_{i:05d}.png"), depth_mm)
+        _write_png(str(root / f"filled_{i:05d}.png"), depth_mm)
+        names.append(
+            f"rgb_{i:05d}.png depth_{i:05d}.png filled_{i:05d}.png"
+        )
+    split = tmp_path / "nyu_split.txt"
+    split.write_text("\n".join(names))
+    return str(root), str(split)
+
+
+def test_nyu_eval_mode(nyu_tree):
+    root, split = nyu_tree
+    ds = get_dataset(
+        Config(name="nyu_depth", dir=".", filenames=split, disp_name="nyu_test",
+               eigen_valid_mask=True),
+        base_data_dir=root,
+        mode=DatasetMode.EVAL,
+    )
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["rgb_int"].shape == (480, 640, 3)
+    assert s["rgb_norm"].min() >= -1 and s["rgb_norm"].max() <= 1
+    # mm -> m decode
+    assert 0.4 < s["depth_raw_linear"].min() and s["depth_raw_linear"].max() < 10
+    # eigen crop: outside must be invalid
+    vm = s["valid_mask_raw"][..., 0]
+    assert not vm[:45].any() and not vm[:, :41].any()
+    assert vm[45:471, 41:601].any()
+    assert s["rgb_relative_path"] == "rgb_00000.png"
+
+
+def test_nyu_train_mode_normalization(nyu_tree):
+    root, split = nyu_tree
+    norm = ScaleShiftDepthNormalizer()
+    ds = get_dataset(
+        Config(name="nyu_depth", dir=".", filenames=split, disp_name="nyu",
+               eigen_valid_mask=False),
+        base_data_dir=root,
+        mode=DatasetMode.TRAIN,
+        depth_transform=norm,
+        augmentation_args={"lr_flip_p": 0.0},
+        resize_to_hw=(240, 320),
+    )
+    s = ds[1]
+    assert s["depth_raw_norm"].shape == (240, 320, 1)
+    assert -1 <= s["depth_raw_norm"].min() and s["depth_raw_norm"].max() <= 1
+    # invalid pixels moved to far plane (+1)
+    inv = ~s["valid_mask_filled"][..., 0]
+    if inv.any():
+        assert (s["depth_filled_norm"][..., 0][inv] == 1.0).all()
+
+
+@pytest.fixture
+def kitti_tree(tmp_path, rng):
+    root = tmp_path / "kitti"
+    rgb = rng.integers(0, 255, (375, 1242, 3), dtype=np.uint8)
+    depth_256 = rng.integers(256, 80 * 256, (375, 1242), dtype=np.uint16)
+    _write_png(str(root / "0000000005.png"), rgb)
+    _write_png(str(root / "d_0000000005.png"), depth_256)
+    split = tmp_path / "kitti_split.txt"
+    split.write_text("0000000005.png d_0000000005.png")
+    return str(root), str(split)
+
+
+def test_kitti_crop_and_garg_mask(kitti_tree):
+    root, split = kitti_tree
+    ds = get_dataset(
+        Config(name="kitti_depth", dir=".", filenames=split, disp_name="kitti",
+               kitti_bm_crop=True, valid_mask_crop="garg"),
+        base_data_dir=root,
+        mode=DatasetMode.EVAL,
+    )
+    s = ds[0]
+    assert s["rgb_int"].shape == (352, 1216, 3)
+    assert s["depth_raw_linear"].shape == (352, 1216, 1)
+    assert (s["depth_raw_linear"] <= 80 * 1.01).all()
+    vm = s["valid_mask_raw"][..., 0]
+    # garg top band excluded
+    assert not vm[: int(0.408 * 352)].any()
+
+
+def test_tar_dataset_reading(nyu_tree, tmp_path):
+    root, split = nyu_tree
+    tar_path = str(tmp_path / "nyu.tar")
+    with tarfile.open(tar_path, "w") as tar:
+        for f in sorted(os.listdir(root)):
+            tar.add(os.path.join(root, f), arcname="./" + f)
+    ds = get_dataset(
+        Config(name="nyu_depth", dir=os.path.basename(tar_path),
+               filenames=split, disp_name="nyu_tar", eigen_valid_mask=False),
+        base_data_dir=str(tmp_path),
+        mode=DatasetMode.EVAL,
+    )
+    s = ds[0]
+    assert s["rgb_int"].shape == (480, 640, 3)
+
+
+@pytest.fixture
+def diode_tree(tmp_path, rng):
+    root = tmp_path / "diode"
+    os.makedirs(root)
+    rgb = rng.integers(0, 255, (768, 1024, 3), dtype=np.uint8)
+    _write_png(str(root / "img.png"), rgb)
+    np.save(str(root / "depth.npy"), rng.uniform(1, 300, (768, 1024, 1)).astype(np.float32))
+    np.save(str(root / "mask.npy"), (rng.uniform(size=(768, 1024)) > 0.3))
+    split = tmp_path / "diode_split.txt"
+    split.write_text("img.png depth.npy mask.npy")
+    return str(root), str(split)
+
+
+def test_diode_explicit_masks(diode_tree):
+    root, split = diode_tree
+    ds = get_dataset(
+        Config(name="diode_depth", dir=".", filenames=split, disp_name="diode"),
+        base_data_dir=root,
+        mode=DatasetMode.EVAL,
+    )
+    s = ds[0]
+    assert s["valid_mask_raw"].dtype == bool
+    assert s["valid_mask_raw"].shape == (768, 1024, 1)
+    assert s["depth_raw_linear"].max() <= 350
+
+
+def test_eth3d_binary_depth(tmp_path, rng):
+    root = tmp_path / "eth3d"
+    os.makedirs(root)
+    h, w = 4032, 6048
+    depth = rng.uniform(0, 50, (h, w)).astype(np.float32)
+    depth[0, :10] = np.inf
+    with open(root / "d.bin", "wb") as f:
+        f.write(depth.tobytes())
+    rgb = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)  # rgb unused here
+    _write_png(str(root / "i.png"), rgb)
+    (tmp_path / "split.txt").write_text("i.png d.bin")
+    ds = get_dataset(
+        Config(name="eth3d_depth", dir=".", filenames=str(tmp_path / "split.txt"),
+               disp_name="eth3d"),
+        base_data_dir=str(root),
+        mode=DatasetMode.EVAL,
+    )
+    s = ds[0]
+    d = s["depth_raw_linear"][..., 0]
+    assert d.shape == (h, w)
+    assert (d[0, :10] == 0).all()  # inf -> 0
+    assert not s["valid_mask_raw"][0, :10, 0].any()
+
+
+@pytest.fixture
+def normals_tree(tmp_path, rng):
+    root = tmp_path / "normals"
+    os.makedirs(root)
+    names = []
+    for i in range(3):
+        rgb = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        n = rng.normal(size=(480, 640, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        _write_png(str(root / f"rgb_{i}.png"), rgb)
+        np.save(str(root / f"n_{i}.npy"), n)
+        names.append(f"rgb_{i}.png n_{i}.npy")
+    split = tmp_path / "n_split.txt"
+    split.write_text("\n".join(names))
+    return str(root), str(split)
+
+
+def test_normals_dataset_and_flip_negates_x(normals_tree):
+    root, split = normals_tree
+    ds = get_dataset(
+        Config(name="nyu_normals", dir=".", filenames=split, disp_name="nn"),
+        base_data_dir=root,
+        mode=DatasetMode.TRAIN,
+        augmentation_args={"lr_flip_p": 1.0},  # always flip
+    )
+    base = get_dataset(
+        Config(name="nyu_normals", dir=".", filenames=split, disp_name="nn"),
+        base_data_dir=root,
+        mode=DatasetMode.EVAL,
+    )
+    s_f, s = ds[0], base[0]
+    np.testing.assert_allclose(
+        s_f["normals"][..., 0], -s["normals"][:, ::-1, 0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        s_f["normals"][..., 1], s["normals"][:, ::-1, 1], atol=1e-6
+    )
+
+
+def test_sintel_crop_and_sky_normals(tmp_path, rng):
+    root = tmp_path / "sintel"
+    os.makedirs(root)
+    rgb = rng.integers(0, 255, (436, 1024, 3), dtype=np.uint8)
+    n = rng.normal(size=(436, 1024, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n[:10] = 0  # sky
+    _write_png(str(root / "r.png"), rgb)
+    np.save(str(root / "n.npy"), n)
+    (tmp_path / "s.txt").write_text("r.png n.npy")
+    ds = get_dataset(
+        Config(name="sintel_normals", dir=".", filenames=str(tmp_path / "s.txt"),
+               disp_name="sintel"),
+        base_data_dir=str(root),
+        mode=DatasetMode.EVAL,
+    )
+    s = ds[0]
+    assert s["rgb_int"].shape == (436, 582, 3)
+    assert s["normals"].shape == (436, 582, 3)
+    np.testing.assert_allclose(
+        s["normals"][:10],
+        np.broadcast_to([0, 0, 1.0], s["normals"][:10].shape),
+        atol=1e-6,
+    )
+
+
+def test_hypersim_iid_cutoff(tmp_path, rng):
+    root = tmp_path / "hiid"
+    os.makedirs(root)
+    rgb = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    _write_png(str(root / "rgb.png"), rgb)
+    albedo = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+    shading = rng.uniform(0, 5, (48, 64, 3)).astype(np.float32)
+    residual = rng.uniform(0, 2, (48, 64, 3)).astype(np.float32)
+    np.save(str(root / "a.npy"), albedo)
+    np.save(str(root / "s.npy"), shading)
+    np.save(str(root / "r.npy"), residual)
+    (tmp_path / "h.txt").write_text("rgb.png a.npy s.npy r.npy")
+    ds = get_dataset(
+        Config(name="hypersim_iid", dir=".", filenames=str(tmp_path / "h.txt"),
+               disp_name="hiid"),
+        base_data_dir=str(root),
+        mode=DatasetMode.EVAL,
+    )
+    s = ds[0]
+    cut = max(np.quantile(shading, 0.98), np.quantile(residual, 0.98))
+    np.testing.assert_allclose(
+        s["shading"], np.clip(shading, 0, cut) / cut, atol=1e-5
+    )
+    assert s["mask_albedo"].all()  # no NaN/zero albedo here
+    assert s["rgb"].min() >= 0 and s["rgb"].max() <= 1
+
+
+def test_get_pred_name_modes():
+    assert get_pred_name("rgb_00001.png", DepthFileNameMode.rgb_id) == "pred_00001.png"
+    assert (
+        get_pred_name("i_d_1_rgb.png", DepthFileNameMode.i_d_rgb) == "i_d_1_pred.png"
+    )
+    assert get_pred_name("42.png", DepthFileNameMode.id) == "pred_42.png"
+    assert (
+        get_pred_name("rgb_cam_00_fr0000.png", DepthFileNameMode.rgb_i_d, ".npy")
+        == "pred_cam_00_fr0000.npy"
+    )
+
+
+# ---------------- sampler & loader ---------------- #
+
+
+class _FakeDS:
+    def __init__(self, n, tag):
+        self.n, self.tag = n, tag
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((2, 2, 1), i, np.float32), "tag": self.tag}
+
+
+def test_mixed_sampler_single_source_batches():
+    ds_ls = [_FakeDS(10, "a"), _FakeDS(20, "b"), _FakeDS(7, "c")]
+    concat = ConcatDataset(ds_ls)
+    import random as pyrandom
+
+    sampler = MixedBatchSampler(
+        ds_ls, batch_size=4, shuffle=True, prob=[0.6, 0.3, 0.1],
+        generator=pyrandom.Random(0),
+    )
+    n_batches = 0
+    for batch in sampler:
+        assert len(batch) == 4
+        tags = {concat[i]["tag"] for i in batch}
+        assert len(tags) == 1  # whole batch from one dataset
+        n_batches += 1
+    assert n_batches == len(sampler) == (10 // 4 + 20 // 4 + 7 // 4)
+
+
+def test_loader_collate_and_resume():
+    ds = _FakeDS(10, "a")
+    dl = DataLoader(ds, batch_size=3, shuffle=False, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[0]["x"].shape == (3, 2, 2, 1)
+    assert batches[0]["tag"] == ["a", "a", "a"]
+    # resume: skip first 2 batches
+    dl.skip_first_batches(2)
+    resumed = list(dl)
+    assert len(resumed) == 1
+    np.testing.assert_array_equal(resumed[0]["x"], batches[2]["x"])
+    # skip resets after one epoch
+    assert len(list(dl)) == 3
+
+
+# ---------------- config system ---------------- #
+
+
+def test_config_recursive_merge(tmp_path):
+    (tmp_path / "base.yaml").write_text("a: 1\nnested:\n  x: 1\n  y: 2\n")
+    (tmp_path / "mid.yaml").write_text(
+        f"base_config:\n- {tmp_path}/base.yaml\nnested:\n  y: 3\nb: 5\n"
+    )
+    (tmp_path / "top.yaml").write_text(
+        f"base_config:\n- {tmp_path}/mid.yaml\nnested:\n  z: 9\n"
+    )
+    cfg = recursive_load_config(str(tmp_path / "top.yaml"))
+    assert cfg.a == 1 and cfg.b == 5
+    assert cfg.nested.x == 1 and cfg.nested.y == 3 and cfg.nested.z == 9
+
+
+def test_config_attribute_and_merge():
+    c = merge_configs({"a": {"b": 1}}, {"a": {"c": 2}})
+    assert c.a.b == 1 and c.a.c == 2
+    assert c.to_dict() == {"a": {"b": 1, "c": 2}}
