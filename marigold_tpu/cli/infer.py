@@ -1,0 +1,127 @@
+"""Dataset inference CLI: run a checkpoint over an eval dataset (RGB_ONLY
+mode) and save per-sample .npy predictions.
+
+Role parity: script/{depth,normals,iid}/infer.py — the first half of the
+two-process zero-shot benchmark protocol (filesystem is the interface to
+eval.py; SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Dataset inference -> npy")
+    parser.add_argument("--modality", choices=["depth", "normals", "iid"],
+                        default="depth")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--dataset_config", type=str, required=True,
+                        help="YAML data config (config/dataset_*/data_*.yaml)")
+    parser.add_argument("--base_data_dir", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--denoise_steps", type=int, default=None)
+    parser.add_argument("--ensemble_size", type=int, default=1)
+    parser.add_argument("--processing_res", type=int, default=None)
+    parser.add_argument("--output_processing_res", action="store_true")
+    parser.add_argument("--resample_method", type=str, default="bilinear")
+    parser.add_argument("--half_precision", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=0)
+    return parser
+
+
+def main(argv=None):
+    from marigold_tpu.cli import apply_platform_env
+
+    apply_platform_env()
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from marigold_tpu import (
+        MarigoldDepthPipeline,
+        MarigoldIIDPipeline,
+        MarigoldNormalsPipeline,
+    )
+    from marigold_tpu.config import recursive_load_config
+    from marigold_tpu.data import DatasetMode, get_dataset, get_pred_name
+    from marigold_tpu.utils.seeding import seed_all
+
+    # seed default = current time (reference infer.py:164-170)
+    seed = args.seed if args.seed is not None else int(time.time())
+    seed_all(seed)
+
+    cfg_data = recursive_load_config(args.dataset_config).dataset
+    dataset = get_dataset(
+        cfg_data, base_data_dir=args.base_data_dir, mode=DatasetMode.RGB_ONLY
+    )
+
+    cls = {
+        "depth": MarigoldDepthPipeline,
+        "normals": MarigoldNormalsPipeline,
+        "iid": MarigoldIIDPipeline,
+    }[args.modality]
+    pipe = cls.from_pretrained(args.checkpoint, dtype=jnp.bfloat16)
+
+    out_npy = os.path.join(args.output_dir, f"{args.modality}_npy")
+    os.makedirs(out_npy, exist_ok=True)
+
+    common = dict(
+        denoising_steps=args.denoise_steps,
+        ensemble_size=args.ensemble_size,
+        processing_res=args.processing_res,
+        match_input_res=not args.output_processing_res,
+        resample_method=args.resample_method,
+        batch_size=args.batch_size,
+        seed=seed,
+        show_progress_bar=False,
+    )
+
+    t0 = time.time()
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        rgb_int = np.asarray(sample["rgb_int"], np.uint8)
+        rel = sample["rgb_relative_path"]
+        base = os.path.basename(rel)
+        scene = os.path.dirname(rel).replace(os.sep, "_")
+
+        if args.modality == "depth":
+            out = pipe(rgb_int, color_map=None, **common)
+            pred_name = get_pred_name(base, dataset.name_mode, suffix=".npy")
+            save_to = os.path.join(
+                out_npy, (scene + "_" if scene else "") + pred_name
+            )
+            np.save(save_to, out.depth_np)
+        elif args.modality == "normals":
+            out = pipe(rgb_int, **common)
+            save_to = os.path.join(
+                out_npy,
+                (scene + "_" if scene else "")
+                + os.path.splitext(base)[0] + "_pred.npy",
+            )
+            np.save(save_to, out.normals_np)
+        else:
+            rgb01 = np.asarray(sample["rgb"], np.float32)
+            out = pipe(rgb01, **common)
+            for entry in out:
+                save_to = os.path.join(
+                    out_npy,
+                    (scene + "_" if scene else "")
+                    + os.path.splitext(base)[0] + f"_{entry.name}_pred.npy",
+                )
+                np.save(save_to, entry.array)
+        if (i + 1) % 10 == 0 or i == len(dataset) - 1:
+            rate = (i + 1) / (time.time() - t0)
+            logging.info(f"{i+1}/{len(dataset)} samples ({rate:.2f}/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

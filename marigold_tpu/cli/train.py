@@ -1,0 +1,223 @@
+"""Training entry point.
+
+Role parity: script/{depth,normals,iid}/train.py — config/resume/output
+dirs, logger + TensorBoard init, mixed dataset + sampler wiring, val/vis
+loaders, base-checkpoint load, trainer dispatch, --exit_after time budget,
+resume from run dir.
+
+Example:
+  python -m marigold_tpu.cli.train --config config/train_marigold_depth.yaml \
+      --base_ckpt_dir ckpt/ --base_data_dir data/ --output_dir output/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import shutil
+from datetime import datetime, timedelta
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Train a Marigold-TPU model")
+    parser.add_argument("--config", type=str,
+                        default="config/train_marigold_depth.yaml")
+    parser.add_argument("--resume_run", type=str, default=None,
+                        help="Path of checkpoint to resume, e.g. "
+                             "output/run/checkpoint/latest")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--base_data_dir", type=str, default=None,
+                        help="Defaults to $BASE_DATA_DIR")
+    parser.add_argument("--base_ckpt_dir", type=str, default=None,
+                        help="Defaults to $BASE_CKPT_DIR")
+    parser.add_argument("--exit_after", type=int, default=-1,
+                        help="Save and exit after this many minutes")
+    parser.add_argument("--no_val", action="store_true")
+    parser.add_argument("--do_not_copy_data", action="store_true",
+                        help="(Slurm) do not copy data to local scratch")
+    return parser
+
+
+def main(argv=None):
+    from marigold_tpu.cli import apply_platform_env
+
+    apply_platform_env()
+    args = build_parser().parse_args(argv)
+
+    from marigold_tpu.config import recursive_load_config
+    from marigold_tpu.data import (
+        ConcatDataset,
+        DataLoader,
+        DatasetMode,
+        MixedBatchSampler,
+        get_dataset,
+    )
+    from marigold_tpu.train.trainer import get_trainer_cls
+    from marigold_tpu.utils.depth_transform import get_depth_normalizer
+    from marigold_tpu.utils.logging_util import (
+        config_logging,
+        is_on_slurm,
+        get_local_scratch_dir,
+        log_slurm_job_id,
+        tb_logger,
+    )
+    from marigold_tpu.utils.seeding import seed_all
+
+    t_start = datetime.now()
+    base_data_dir = args.base_data_dir or os.environ.get("BASE_DATA_DIR")
+    base_ckpt_dir = args.base_ckpt_dir or os.environ.get("BASE_CKPT_DIR")
+
+    resume_run = args.resume_run
+    if resume_run is not None:
+        out_dir_run = os.path.dirname(os.path.dirname(resume_run))
+        cfg = recursive_load_config(os.path.join(out_dir_run, "config.yaml"))
+    else:
+        cfg = recursive_load_config(args.config)
+        run_name = (
+            f"{t_start.strftime('%y_%m_%d-%H_%M_%S')}-"
+            f"{os.path.splitext(os.path.basename(args.config))[0]}"
+        )
+        out_dir_run = os.path.join(args.output_dir or "output", run_name)
+        os.makedirs(out_dir_run, exist_ok=True)
+
+    out_dir_ckpt = os.path.join(out_dir_run, "checkpoint")
+    out_dir_tb = os.path.join(out_dir_run, "tensorboard")
+    out_dir_eval = os.path.join(out_dir_run, "evaluation")
+    out_dir_vis = os.path.join(out_dir_run, "visualization")
+    for d in (out_dir_ckpt, out_dir_tb, out_dir_eval, out_dir_vis):
+        os.makedirs(d, exist_ok=True)
+
+    config_logging(cfg.get("logging", {}), out_dir=out_dir_run)
+    logging.info(f"config: {args.config}; output: {out_dir_run}")
+    tb_logger.set_dir(out_dir_tb)
+    log_slurm_job_id()
+
+    if resume_run is None:
+        # save the effective composed config into the run dir
+        import yaml
+
+        with open(os.path.join(out_dir_run, "config.yaml"), "w") as f:
+            yaml.safe_dump(cfg.to_dict(), f)
+
+    # Slurm local-scratch data copy (reference train.py:233-252)
+    if is_on_slurm() and not args.do_not_copy_data and base_data_dir:
+        scratch = get_local_scratch_dir()
+        if scratch:
+            local = os.path.join(scratch, "train_data")
+            logging.info(f"copying data to local scratch: {local}")
+            shutil.copytree(base_data_dir, local, dirs_exist_ok=True)
+            base_data_dir = local
+
+    loader_seed = cfg.dataloader.get("seed")
+    if loader_seed is not None:
+        seed_all(loader_seed)
+
+    # effective batch / accumulation (reference train.py:254-262)
+    eff_bs = int(cfg.dataloader.effective_batch_size)
+    max_bs = int(cfg.dataloader.max_train_batch_size)
+    accumulation_steps = eff_bs / max_bs
+    assert int(accumulation_steps) == accumulation_steps, (
+        f"effective_batch_size {eff_bs} must be divisible by "
+        f"max_train_batch_size {max_bs}"
+    )
+    accumulation_steps = int(accumulation_steps)
+    logging.info(
+        f"effective batch size: {eff_bs}, accumulation steps: {accumulation_steps}"
+    )
+
+    # datasets
+    extra_kwargs = {}
+    if cfg.get("depth_normalization") is not None:
+        extra_kwargs["depth_transform"] = get_depth_normalizer(
+            cfg.depth_normalization.to_dict()
+            if hasattr(cfg.depth_normalization, "to_dict")
+            else dict(cfg.depth_normalization)
+        )
+    train_datasets = get_dataset(
+        cfg.dataset.train, base_data_dir=base_data_dir, mode=DatasetMode.TRAIN,
+        augmentation_args=dict(cfg.get("augmentation") or {}),
+        **extra_kwargs,
+    )
+    if not isinstance(train_datasets, list):
+        train_datasets = [train_datasets]
+    concat = ConcatDataset(train_datasets)
+    sampler = MixedBatchSampler(
+        train_datasets,
+        batch_size=max_bs,
+        shuffle=True,
+        prob=list(cfg.dataset.train.get("prob_ls") or []) or None,
+        generator=random.Random(loader_seed),
+    )
+    train_loader = DataLoader(concat, batch_sampler=sampler)
+
+    def _mk_eval_loaders(split):
+        loaders = []
+        for c in cfg.dataset.get(split) or []:
+            ds = get_dataset(
+                c, base_data_dir=base_data_dir, mode=DatasetMode.EVAL,
+                **extra_kwargs,
+            )
+            loaders.append(DataLoader(ds, batch_size=1))
+        return loaders
+
+    val_loaders = [] if args.no_val else _mk_eval_loaders("val")
+    vis_loaders = _mk_eval_loaders("vis")
+
+    # base pipeline checkpoint (vanilla SD2 for fresh runs)
+    from marigold_tpu import (
+        MarigoldDepthPipeline,
+        MarigoldIIDPipeline,
+        MarigoldNormalsPipeline,
+    )
+
+    pipe_cls = {
+        "MarigoldDepthPipeline": MarigoldDepthPipeline,
+        "MarigoldNormalsPipeline": MarigoldNormalsPipeline,
+        "MarigoldIIDPipeline": MarigoldIIDPipeline,
+    }[cfg.pipeline.name]
+    ckpt_path = os.path.join(base_ckpt_dir or "", cfg.model.pretrained_path)
+    pipe = pipe_cls.from_pretrained(ckpt_path)
+    # pipeline kwargs from the training config override the base checkpoint
+    pipe.pipe_cfg.update(dict(cfg.pipeline.get("kwargs") or {}))
+    pipe.default_denoising_steps = pipe.pipe_cfg.get("default_denoising_steps")
+    pipe.default_processing_resolution = pipe.pipe_cfg.get(
+        "default_processing_resolution"
+    )
+    if cfg.pipeline.name == "MarigoldIIDPipeline":
+        pipe.target_properties = pipe.pipe_cfg.get("target_properties") or {}
+        pipe.target_names = pipe.target_properties["target_names"]
+        pipe.n_targets = len(pipe.target_names)
+
+    trainer_cls = get_trainer_cls(cfg.trainer.name)
+    trainer = trainer_cls(
+        cfg=cfg,
+        model=pipe,
+        train_dataloader=train_loader,
+        out_dir_ckpt=out_dir_ckpt,
+        out_dir_eval=out_dir_eval,
+        out_dir_vis=out_dir_vis,
+        accumulation_steps=accumulation_steps,
+        val_dataloaders=val_loaders,
+        vis_dataloaders=vis_loaders,
+    )
+
+    if resume_run is not None:
+        trainer.load_checkpoint(resume_run, load_trainer_state=True)
+
+    t_end = (
+        t_start + timedelta(minutes=args.exit_after)
+        if args.exit_after > 0
+        else None
+    )
+    try:
+        trainer.train(t_end=t_end)
+    except Exception:
+        logging.exception("training failed")
+        raise
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,555 @@
+"""Trainers: depth / normals / IID fine-tuning orchestration.
+
+Behavioral reference: src/trainer/marigold_{depth,normals,iid}_trainer.py —
+UNet-only fine-tuning (VAE/text frozen), conv surgery, per-step seeded
+randomness from a pre-generated global seed sequence (deterministic
+resume), gradient accumulation to the effective batch, per-effective-iter
+callbacks (backup ckpt / validation / latest ckpt / visualization),
+time-budgeted exit, in-training validation running the full inference
+pipeline per sample, best-checkpoint gating on the first val set's main
+metric.
+
+TPU-first: the inner loop is ONE jitted train_step (train_step.py) with
+gradient accumulation inside the optimizer (optax.MultiSteps) and data
+parallelism by sharding annotations; the host loop only feeds batches and
+orchestrates checkpoints/validation.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import datetime
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marigold_tpu.eval import metrics as M
+from marigold_tpu.eval.alignment import align_depth_least_square
+from marigold_tpu.models import surgery
+from marigold_tpu.pipelines import image_util
+from marigold_tpu.train.checkpoints import (
+    load_train_state,
+    save_train_state as save_train_ckpt,
+)
+from marigold_tpu.train.lr_schedule import iter_exponential
+from marigold_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from marigold_tpu.utils.logging_util import tb_logger
+from marigold_tpu.utils.seeding import generate_seed_sequence, key_from_seed
+
+logger = logging.getLogger(__name__)
+
+
+class MarigoldTrainerBase:
+    modality = "depth"
+
+    def __init__(
+        self,
+        cfg,
+        model,  # a pipelines.BasePipeline (with .core)
+        train_dataloader,
+        out_dir_ckpt: str,
+        out_dir_eval: str,
+        out_dir_vis: str,
+        accumulation_steps: int,
+        val_dataloaders: Optional[List] = None,
+        vis_dataloaders: Optional[List] = None,
+        device=None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.core = model.core
+        self.train_loader = train_dataloader
+        self.out_dir_ckpt = out_dir_ckpt
+        self.out_dir_eval = out_dir_eval
+        self.out_dir_vis = out_dir_vis
+        self.accumulation_steps = int(accumulation_steps)
+        self.val_loaders = val_dataloaders or []
+        self.vis_loaders = vis_dataloaders or []
+
+        # surgery: widen conv_in (and conv_out for IID) on the loaded SD2
+        self._apply_surgery()
+
+        # optimizer: Adam + IterExponential on the UNet only (VAE/text are
+        # simply never passed to the grad fn — frozen by construction)
+        lr = float(cfg.lr)
+        lrs = cfg.lr_scheduler.kwargs
+        self.lr_schedule_fn = iter_exponential(
+            int(lrs.total_iter), float(lrs.final_ratio), int(lrs.warmup_steps)
+        )
+        self.optimizer = make_optimizer(
+            lr, self.lr_schedule_fn, self.accumulation_steps
+        )
+        # train in fp32 master params (bf16 fwd handled inside model dtype)
+        unet_params_f32 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), self.core.unet_params
+        )
+        self.state = create_train_state(unet_params_f32, self.optimizer)
+
+        mrn = cfg.get("multi_res_noise")
+        self.train_step = jax.jit(
+            make_train_step(
+                self.core.unet_cfg,
+                self.core.vae_cfg,
+                self.core.schedule,
+                self.optimizer,
+                loss_name=cfg.loss.name,
+                multi_res_noise_cfg=dict(mrn) if mrn else None,
+                use_mask=cfg.get("gt_mask_type") is not None,
+            )
+        )
+
+        # trainer state (reference naming)
+        self.effective_iter = 0
+        self.epoch = 1
+        self.n_batch_in_epoch = 0
+        self.in_evaluation = False
+        self.best_metric = (
+            1e8 if cfg.validation.main_val_metric_goal == "minimize" else -1e8
+        )
+        self.max_iter = int(cfg.max_iter)
+        self.max_epoch = int(cfg.max_epoch)
+        self.save_period = int(cfg.trainer.save_period)
+        self.backup_period = int(cfg.trainer.backup_period)
+        self.val_period = int(cfg.trainer.validation_period)
+        self.vis_period = int(cfg.trainer.visualization_period)
+        self.gt_mask_type = cfg.get("gt_mask_type")
+
+        init_seed = cfg.trainer.get("init_seed")
+        self.global_seed_sequence: list = (
+            generate_seed_sequence(init_seed, self.max_iter * max(
+                self.accumulation_steps, 1))
+            if init_seed is not None
+            else []
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _apply_surgery(self):
+        raise NotImplementedError
+
+    def _assemble_batch(self, batch) -> dict:
+        """-> {rgb_norm [B,H,W,3], gt_norm [B,H,W,3k], valid_mask?}"""
+        raise NotImplementedError
+
+    def _next_seed(self) -> Optional[int]:
+        if self.global_seed_sequence:
+            return self.global_seed_sequence.pop()
+        return None
+
+    def _step_key(self):
+        seed = self._next_seed()
+        if seed is None:
+            return jax.random.PRNGKey(np.random.randint(0, 2**31))
+        return key_from_seed(seed)
+
+    # ------------------------------------------------------------------ #
+
+    def train(self, t_end: Optional[datetime] = None) -> None:
+        logger.info("Start training")
+        if self.in_evaluation:
+            logger.info("Resumed during validation: re-running validation.")
+            self.validate()
+            self.in_evaluation = False
+            self.save_checkpoint("latest", save_train_state=True)
+
+        accumulated_step = 0
+        self._sync_params_to_core()
+        while self.epoch <= self.max_epoch:
+            logger.info(f"epoch: {self.epoch}")
+            loader = self.train_loader
+            if self.n_batch_in_epoch > 0 and hasattr(loader, "skip_first_batches"):
+                loader.skip_first_batches(self.n_batch_in_epoch)
+
+            for batch in loader:
+                batch_dev = self._assemble_batch(batch)
+                key = self._step_key()
+                self.state, step_metrics = self.train_step(
+                    self.state,
+                    self.core.vae_params,
+                    self.core.empty_text_embed,
+                    batch_dev,
+                    key,
+                )
+                accumulated_step += 1
+                self.n_batch_in_epoch += 1
+
+                if accumulated_step >= self.accumulation_steps:
+                    accumulated_step = 0
+                    self.effective_iter += 1
+                    loss = float(step_metrics["loss"])
+                    if not np.isfinite(loss):
+                        logger.warning(f"non-finite loss at iter {self.effective_iter}")
+                    tb_logger.log_dict(
+                        {"train/loss": loss,
+                         "train/grad_norm": float(step_metrics["grad_norm"])},
+                        global_step=self.effective_iter,
+                    )
+                    tb_logger.log_scalar(
+                        "lr",
+                        float(self.cfg.lr)
+                        * float(self.lr_schedule_fn(self.effective_iter)),
+                        self.effective_iter,
+                    )
+                    tb_logger.log_scalar(
+                        "n_batch_in_epoch", self.n_batch_in_epoch,
+                        self.effective_iter,
+                    )
+                    logger.info(
+                        f"iter {self.effective_iter:5d} (epoch {self.epoch:2d}): "
+                        f"loss={loss:.5f}"
+                    )
+
+                    self._train_step_callback()
+
+                    if self.max_iter > 0 and self.effective_iter >= self.max_iter:
+                        self.save_checkpoint(
+                            self._get_backup_ckpt_name(), save_train_state=False
+                        )
+                        logger.info("Training ended.")
+                        return
+                    if t_end is not None and datetime.now() >= t_end:
+                        self.save_checkpoint("latest", save_train_state=True)
+                        logger.info("Time is up, training paused.")
+                        return
+            self.epoch += 1
+            self.n_batch_in_epoch = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _sync_params_to_core(self):
+        """Push current train params into the inference core (bf16 for the
+        pipeline's fused programs)."""
+        self.core.unet_params = jax.tree_util.tree_map(
+            lambda x: x.astype(self.core.dtype), self.state.params
+        )
+        self.core._jit_cache.clear()
+
+    def _train_step_callback(self):
+        """Reference _train_step_callback (marigold_depth_trainer.py:423-451)."""
+        if self.backup_period > 0 and 0 == self.effective_iter % self.backup_period:
+            self.save_checkpoint(self._get_backup_ckpt_name(), save_train_state=False)
+
+        _is_latest_saved = False
+        if self.val_period > 0 and 0 == self.effective_iter % self.val_period:
+            self.in_evaluation = True
+            self.save_checkpoint("latest", save_train_state=True)
+            _is_latest_saved = True
+            self.validate()
+            self.in_evaluation = False
+            self.save_checkpoint("latest", save_train_state=True)
+
+        if (
+            self.save_period > 0
+            and 0 == self.effective_iter % self.save_period
+            and not _is_latest_saved
+        ):
+            self.save_checkpoint("latest", save_train_state=True)
+
+        if self.vis_period > 0 and 0 == self.effective_iter % self.vis_period:
+            self.visualize()
+
+    def _get_backup_ckpt_name(self):
+        return f"iter_{self.effective_iter:06d}"
+
+    # ------------------------------------------------------------------ #
+    # validation / visualization
+
+    def validate(self):
+        self._sync_params_to_core()
+        for i, val_loader in enumerate(self.val_loaders):
+            val_name = getattr(val_loader.dataset, "disp_name", f"val_{i}")
+            result = self.validate_single_dataset(val_loader)
+            main_metric = self.cfg.validation.main_val_metric
+            logger.info(
+                f"Iter {self.effective_iter}. Validation metrics on "
+                f"{val_name}: {result}"
+            )
+            tb_logger.log_dict(
+                {f"val/{val_name}/{k}": v for k, v in result.items()},
+                global_step=self.effective_iter,
+            )
+            if i == 0:  # best-ckpt gate on the first val dataset
+                value = result[main_metric]
+                goal = self.cfg.validation.main_val_metric_goal
+                better = (
+                    value < self.best_metric
+                    if goal == "minimize"
+                    else value > self.best_metric
+                )
+                if better:
+                    self.best_metric = value
+                    logger.info(f"Best metric: {main_metric} = {value}")
+                    self.save_checkpoint("best", save_train_state=False)
+
+    def validate_single_dataset(self, val_loader) -> dict:
+        raise NotImplementedError
+
+    def visualize(self):
+        self._sync_params_to_core()
+        for vis_loader in self.vis_loaders:
+            name = getattr(vis_loader.dataset, "disp_name", "vis")
+            out_dir = os.path.join(self.out_dir_vis, name)
+            os.makedirs(out_dir, exist_ok=True)
+            self._visualize_dataset(vis_loader, out_dir)
+
+    def _visualize_dataset(self, vis_loader, out_dir):
+        pass
+
+    def _val_pipe_kwargs(self):
+        v = self.cfg.validation
+        return dict(
+            denoising_steps=int(v.denoising_steps),
+            ensemble_size=int(v.ensemble_size),
+            processing_res=int(v.processing_res),
+            match_input_res=bool(v.match_input_res),
+            seed=v.get("init_seed"),
+            show_progress_bar=False,
+        )
+
+    # ------------------------------------------------------------------ #
+    # checkpointing
+
+    def save_checkpoint(self, ckpt_name: str, save_train_state: bool = True):
+        ckpt_dir = os.path.join(self.out_dir_ckpt, ckpt_name)
+        logger.info(f"Saving checkpoint to {ckpt_dir}")
+        trainer_state = {
+            "effective_iter": self.effective_iter,
+            "epoch": self.epoch,
+            "n_batch_in_epoch": self.n_batch_in_epoch,
+            "best_metric": float(self.best_metric),
+            "in_evaluation": self.in_evaluation,
+            "global_seed_sequence": self.global_seed_sequence,
+            "step": int(self.state.step),
+        }
+        opt_state = self.state.opt_state if save_train_state else None
+        params_f32 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32), self.state.params
+        )
+        save_train_ckpt(
+            ckpt_dir, self.core.unet_cfg, params_f32, self.core.schedule,
+            trainer_state, opt_state,
+        )
+
+    def load_checkpoint(self, ckpt_dir: str, load_trainer_state: bool = True):
+        logger.info(f"Loading checkpoint from {ckpt_dir}")
+        unet_cfg, unet_params, schedule, trainer_state, opt_state = load_train_state(
+            ckpt_dir, self.state.opt_state if load_trainer_state else None
+        )
+        self.core.unet_cfg = unet_cfg
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), unet_params
+        )
+        self.state = TrainState(
+            step=jnp.asarray(trainer_state.get("step", 0), jnp.int32),
+            params=params,
+            opt_state=opt_state if opt_state is not None else self.optimizer.init(params),
+        )
+        if load_trainer_state:
+            self.effective_iter = trainer_state["effective_iter"]
+            self.epoch = trainer_state["epoch"]
+            self.n_batch_in_epoch = trainer_state["n_batch_in_epoch"]
+            self.best_metric = trainer_state["best_metric"]
+            self.in_evaluation = trainer_state["in_evaluation"]
+            self.global_seed_sequence = list(trainer_state["global_seed_sequence"])
+        self._sync_params_to_core()
+
+
+# ------------------------------------------------------------------ #
+
+
+class MarigoldDepthTrainer(MarigoldTrainerBase):
+    modality = "depth"
+
+    def _apply_surgery(self):
+        if self.core.unet_cfg.in_channels == 4:
+            self.core.unet_cfg, self.core.unet_params = surgery.replace_conv_in(
+                self.core.unet_cfg, self.core.unet_params, 8
+            )
+
+    def _assemble_batch(self, batch):
+        gt_type = self.cfg.get("gt_depth_type", "depth_raw_norm")
+        depth = np.asarray(batch[gt_type], np.float32)  # [B,H,W,1]
+        gt3 = np.repeat(depth, 3, axis=-1)  # stack_depth_images (ref :415-421)
+        out = {
+            "rgb_norm": jnp.asarray(batch["rgb_norm"], jnp.float32),
+            "gt_norm": jnp.asarray(gt3),
+        }
+        if self.gt_mask_type is not None:
+            out["valid_mask"] = jnp.asarray(
+                np.asarray(batch[self.gt_mask_type], bool)
+            )
+        return out
+
+    def validate_single_dataset(self, val_loader) -> dict:
+        tracker = M.MetricTracker(*self.cfg.eval.eval_metrics)
+        kwargs = self._val_pipe_kwargs()
+        for batch in val_loader:
+            rgb_int = np.asarray(batch["rgb_int"][0], np.uint8)
+            out = self.model(rgb_int, color_map=None, **kwargs)
+            depth_pred = out.depth_np
+            gt = np.asarray(batch["depth_raw_linear"][0, ..., 0])
+            valid = np.asarray(batch["valid_mask_raw"][0, ..., 0], bool)
+            if depth_pred.shape != gt.shape:
+                depth_pred = image_util.resize_np(
+                    depth_pred[..., None], gt.shape, "bilinear"
+                )[..., 0]
+            aligned, _, _ = align_depth_least_square(gt, depth_pred, valid)
+            aligned = np.clip(
+                aligned, getattr(val_loader.dataset, "min_depth", 0),
+                getattr(val_loader.dataset, "max_depth", np.inf),
+            )
+            for name in self.cfg.eval.eval_metrics:
+                tracker.update(name, M.DEPTH_METRICS[name](aligned, gt, valid))
+        return tracker.result()
+
+    def _visualize_dataset(self, vis_loader, out_dir):
+        kwargs = self._val_pipe_kwargs()
+        for batch in vis_loader:
+            rgb_int = np.asarray(batch["rgb_int"][0], np.uint8)
+            out = self.model(rgb_int, color_map="Spectral", **kwargs)
+            name = os.path.splitext(
+                os.path.basename(batch["rgb_relative_path"][0])
+            )[0]
+            if out.depth_colored is not None:
+                out.depth_colored.save(
+                    os.path.join(
+                        out_dir, f"iter_{self.effective_iter:06d}_{name}.png"
+                    )
+                )
+
+
+class MarigoldNormalsTrainer(MarigoldTrainerBase):
+    modality = "normals"
+
+    def _apply_surgery(self):
+        if self.core.unet_cfg.in_channels == 4:
+            self.core.unet_cfg, self.core.unet_params = surgery.replace_conv_in(
+                self.core.unet_cfg, self.core.unet_params, 8
+            )
+
+    def _assemble_batch(self, batch):
+        gt_type = self.cfg.get("gt_normals_type", "normals")
+        return {
+            "rgb_norm": jnp.asarray(batch["rgb_norm"], jnp.float32),
+            "gt_norm": jnp.asarray(batch[gt_type], jnp.float32),
+        }
+
+    def validate_single_dataset(self, val_loader) -> dict:
+        tracker = M.MetricTracker(*self.cfg.eval.eval_metrics)
+        kwargs = self._val_pipe_kwargs()
+        for batch in val_loader:
+            rgb_int = np.asarray(batch["rgb_int"][0], np.uint8)
+            out = self.model(rgb_int, **kwargs)
+            pred = out.normals_np
+            gt = np.asarray(batch["normals"][0])
+            if pred.shape != gt.shape:
+                pred = image_util.resize_np(pred, gt.shape[:2], "bilinear")
+                pred /= np.clip(
+                    np.linalg.norm(pred, axis=-1, keepdims=True), 1e-6, None
+                )
+            err = M.compute_cosine_error(pred, gt, masked=True)
+            for name in self.cfg.eval.eval_metrics:
+                tracker.update(name, M.NORMALS_METRICS[name](err))
+        return tracker.result()
+
+    def _visualize_dataset(self, vis_loader, out_dir):
+        kwargs = self._val_pipe_kwargs()
+        for batch in vis_loader:
+            rgb_int = np.asarray(batch["rgb_int"][0], np.uint8)
+            out = self.model(rgb_int, **kwargs)
+            name = os.path.splitext(
+                os.path.basename(batch["rgb_relative_path"][0])
+            )[0]
+            out.normals_img.save(
+                os.path.join(out_dir, f"iter_{self.effective_iter:06d}_{name}.png")
+            )
+
+
+class MarigoldIIDTrainer(MarigoldTrainerBase):
+    modality = "iid"
+
+    def _apply_surgery(self):
+        n = len(self.model.target_names)
+        latent = self.core.vae_cfg.latent_channels
+        if self.core.unet_cfg.in_channels == 4:
+            self.core.unet_cfg, self.core.unet_params = (
+                surgery.replace_conv_in_out_multimodal(
+                    self.core.unet_cfg, self.core.unet_params, n, latent
+                )
+            )
+
+    def _assemble_batch(self, batch):
+        # rgb and each target: [0,1] -> [-1,1] (reference :286-288)
+        rgb = np.asarray(batch["rgb"], np.float32) * 2.0 - 1.0
+        targets = [
+            np.asarray(batch[t], np.float32) * 2.0 - 1.0
+            for t in self.model.target_names
+        ]
+        out = {
+            "rgb_norm": jnp.asarray(rgb),
+            "gt_norm": jnp.asarray(np.concatenate(targets, axis=-1)),
+        }
+        if self.gt_mask_type is not None:
+            out["valid_mask"] = jnp.asarray(
+                np.asarray(batch[self.gt_mask_type], bool)
+            )
+        return out
+
+    def validate_single_dataset(self, val_loader) -> dict:
+        tracker = M.MetricTracker()
+        kwargs = self._val_pipe_kwargs()
+        use_mask = bool(self.cfg.validation.get("use_mask", False))
+        for batch in val_loader:
+            rgb01 = np.asarray(batch["rgb"][0], np.float32)
+            out = self.model(rgb01, **kwargs)
+            for t in self.model.target_names:
+                pred = np.moveaxis(out[t].array, 0, -1)  # [H,W,3]
+                gt = np.asarray(batch[t][0])
+                if pred.shape != gt.shape:
+                    pred = image_util.resize_np(pred, gt.shape[:2], "bilinear")
+                mask = None
+                if use_mask and f"mask_{t}" in batch:
+                    mask = np.asarray(batch[f"mask_{t}"][0], bool)
+                val = M.compute_iid_metric(
+                    pred, gt, t, M.psnr, valid_mask=mask, metric_name="psnr"
+                )
+                tracker.update(f"psnr_{t}", val)
+        result = tracker.result()
+        result["psnr"] = float(np.mean(list(result.values()))) if result else 0.0
+        return result
+
+    def _visualize_dataset(self, vis_loader, out_dir):
+        kwargs = self._val_pipe_kwargs()
+        for batch in vis_loader:
+            rgb01 = np.asarray(batch["rgb"][0], np.float32)
+            out = self.model(rgb01, **kwargs)
+            name = os.path.splitext(
+                os.path.basename(batch["rgb_relative_path"][0])
+            )[0]
+            for entry in out:
+                entry.image.save(
+                    os.path.join(
+                        out_dir,
+                        f"iter_{self.effective_iter:06d}_{name}_{entry.name}.png",
+                    )
+                )
+
+
+trainer_name_class_dict = {
+    "MarigoldDepthTrainer": MarigoldDepthTrainer,
+    "MarigoldNormalsTrainer": MarigoldNormalsTrainer,
+    "MarigoldIIDTrainer": MarigoldIIDTrainer,
+}
+
+
+def get_trainer_cls(trainer_name: str):
+    """Registry (reference src/trainer/__init__.py:36-44)."""
+    return trainer_name_class_dict[trainer_name]

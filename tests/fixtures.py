@@ -50,6 +50,9 @@ def make_tiny_checkpoint(ckpt_dir: str, mode: str = "depth", seed: int = 0,
         unet_cfg = tiny_unet_config(
             in_ch=latent * (n_targets + 1), out_ch=latent * n_targets
         )
+    elif mode == "sd2":
+        # vanilla text-to-image base (pre-surgery): 4-channel in/out
+        unet_cfg = tiny_unet_config(in_ch=4, out_ch=4)
     else:
         unet_cfg = tiny_unet_config()
 
@@ -67,6 +70,7 @@ def make_tiny_checkpoint(ckpt_dir: str, mode: str = "depth", seed: int = 0,
             "depth": "MarigoldDepthPipeline",
             "normals": "MarigoldNormalsPipeline",
             "iid": "MarigoldIIDPipeline",
+            "sd2": "StableDiffusionPipeline",
         }[mode],
         "default_denoising_steps": 1 if mode == "depth" else 4,
         "default_processing_resolution": 32,

@@ -1,0 +1,192 @@
+"""CLI end-to-end tests: run.py on a folder, infer.py -> eval.py roundtrip
+(the two-process zero-shot protocol), train.py debug run."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from fixtures import make_tiny_checkpoint
+
+
+@pytest.fixture(scope="module")
+def depth_ckpt(tmp_path_factory):
+    return make_tiny_checkpoint(str(tmp_path_factory.mktemp("ck")), mode="depth")
+
+
+def test_cli_run_depth(depth_ckpt, tmp_path, rng):
+    from marigold_tpu.cli.run import main
+
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        ).save(in_dir / f"img{i}.png")
+    out_dir = tmp_path / "out"
+    rc = main([
+        "--modality", "depth",
+        "--checkpoint", depth_ckpt,
+        "--input_rgb_dir", str(in_dir),
+        "--output_dir", str(out_dir),
+        "--denoise_steps", "1",
+        "--ensemble_size", "1",
+        "--processing_res", "32",
+        "--full_precision",
+        "--seed", "1",
+    ])
+    assert rc == 0
+    assert (out_dir / "depth_npy" / "img0_pred.npy").exists()
+    assert (out_dir / "img0_depth_bw.png").exists()
+    assert (out_dir / "img0_depth_colored.png").exists()
+    pred = np.load(out_dir / "depth_npy" / "img1_pred.npy")
+    assert pred.shape == (40, 48)
+    bw = np.asarray(Image.open(out_dir / "img0_depth_bw.png"))
+    assert bw.dtype == np.uint16
+
+
+def test_cli_infer_eval_roundtrip(depth_ckpt, tmp_path, rng):
+    from marigold_tpu.cli.eval import main as eval_main
+    from marigold_tpu.cli.infer import main as infer_main
+
+    # tiny NYU-style dataset
+    root = tmp_path / "data" / "nyu"
+    os.makedirs(root)
+    names = []
+    for i in range(2):
+        rgb = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        depth_mm = rng.integers(500, 9000, (48, 64), dtype=np.uint16)
+        Image.fromarray(rgb).save(root / f"rgb_{i:05d}.png")
+        Image.fromarray(depth_mm).save(root / f"depth_{i:05d}.png")
+        Image.fromarray(depth_mm).save(root / f"filled_{i:05d}.png")
+        names.append(f"rgb_{i:05d}.png depth_{i:05d}.png filled_{i:05d}.png")
+    (tmp_path / "split.txt").write_text("\n".join(names))
+    ds_cfg = {
+        "dataset": {
+            "name": "nyu_depth",
+            "disp_name": "tiny_nyu_test",
+            "dir": "nyu",
+            "filenames": str(tmp_path / "split.txt"),
+            "eigen_valid_mask": False,
+        }
+    }
+    cfg_path = tmp_path / "data_nyu_test.yaml"
+    cfg_path.write_text(yaml.safe_dump(ds_cfg))
+
+    out_dir = tmp_path / "preds"
+    rc = infer_main([
+        "--modality", "depth",
+        "--checkpoint", depth_ckpt,
+        "--dataset_config", str(cfg_path),
+        "--base_data_dir", str(tmp_path / "data"),
+        "--output_dir", str(out_dir),
+        "--denoise_steps", "1",
+        "--ensemble_size", "2",
+        "--processing_res", "32",
+        "--seed", "1234",
+    ])
+    assert rc == 0
+    pred_dir = out_dir / "depth_npy"
+    assert (pred_dir / "pred_00000.npy").exists()  # rgb_id naming mode
+
+    eval_out = tmp_path / "eval"
+    rc = eval_main([
+        "--modality", "depth",
+        "--dataset_config", str(cfg_path),
+        "--base_data_dir", str(tmp_path / "data"),
+        "--prediction_dir", str(pred_dir),
+        "--output_dir", str(eval_out),
+        "--alignment", "least_square",
+    ])
+    assert rc == 0
+    assert (eval_out / "eval_metrics-least_square.txt").exists()
+    assert (eval_out / "per_sample_metrics.csv").exists()
+    txt = (eval_out / "eval_metrics-least_square.txt").read_text()
+    assert "abs_relative_difference" in txt and "tiny_nyu_test" in txt
+
+
+def test_cli_train_debug(tmp_path, rng):
+    """Full train CLI on a debug config: 2 iters, checkpoint written."""
+    from marigold_tpu.cli.train import main as train_main
+
+    sd2 = make_tiny_checkpoint(str(tmp_path / "ckpt_base" / "sd2"), mode="sd2")
+
+    root = tmp_path / "data" / "nyu"
+    os.makedirs(root)
+    names = []
+    for i in range(4):
+        rgb = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        depth_mm = rng.integers(500, 9000, (64, 64), dtype=np.uint16)
+        Image.fromarray(rgb).save(root / f"rgb_{i:05d}.png")
+        Image.fromarray(depth_mm).save(root / f"depth_{i:05d}.png")
+        Image.fromarray(depth_mm).save(root / f"filled_{i:05d}.png")
+        names.append(f"rgb_{i:05d}.png depth_{i:05d}.png filled_{i:05d}.png")
+    (tmp_path / "split.txt").write_text("\n".join(names))
+
+    cfg = {
+        "pipeline": {"name": "MarigoldDepthPipeline", "kwargs": {
+            "scale_invariant": True, "shift_invariant": True,
+            "default_denoising_steps": 1,
+            "default_processing_resolution": 32,
+        }},
+        "model": {"name": "marigold_pipeline", "pretrained_path": "sd2"},
+        "depth_normalization": {
+            "type": "scale_shift_depth", "clip": True, "norm_min": -1.0,
+            "norm_max": 1.0, "min_max_quantile": 0.02,
+        },
+        "augmentation": {"lr_flip_p": 0.5},
+        "dataloader": {"num_workers": 0, "effective_batch_size": 2,
+                       "max_train_batch_size": 1, "seed": 2024},
+        "trainer": {"name": "MarigoldDepthTrainer", "init_seed": 2024,
+                    "save_period": 2, "backup_period": 0,
+                    "validation_period": 0, "visualization_period": 0},
+        "multi_res_noise": {"strength": 0.9, "annealed": True,
+                            "downscale_strategy": "original"},
+        "gt_depth_type": "depth_raw_norm",
+        "gt_mask_type": "valid_mask_raw",
+        "max_epoch": 100, "max_iter": 2,
+        "optimizer": {"name": "Adam"},
+        "loss": {"name": "mse_loss", "kwargs": {"reduction": "mean"}},
+        "lr": 1e-4,
+        "lr_scheduler": {"name": "IterExponential", "kwargs": {
+            "total_iter": 100, "final_ratio": 0.01, "warmup_steps": 0}},
+        "validation": {"denoising_steps": 1, "ensemble_size": 1,
+                       "processing_res": 0, "match_input_res": False,
+                       "resample_method": "bilinear",
+                       "main_val_metric": "abs_relative_difference",
+                       "main_val_metric_goal": "minimize", "init_seed": 2024},
+        "eval": {"alignment": "least_square", "align_max_res": None,
+                 "eval_metrics": ["abs_relative_difference", "delta1_acc"]},
+        "dataset": {
+            "train": {"name": "mixed", "prob_ls": [1.0], "dataset_list": [
+                {"name": "nyu_depth", "disp_name": "tiny_train", "dir": "nyu",
+                 "filenames": str(tmp_path / "split.txt"),
+                 "eigen_valid_mask": False}]},
+            "val": [], "vis": [],
+        },
+        "logging": {"console_level": 30},
+    }
+    cfg_path = tmp_path / "train_cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    out_root = tmp_path / "runs"
+    rc = train_main([
+        "--config", str(cfg_path),
+        "--output_dir", str(out_root),
+        "--base_data_dir", str(tmp_path / "data"),
+        "--base_ckpt_dir", str(tmp_path / "ckpt_base"),
+        "--no_val",
+    ])
+    assert rc == 0
+    runs = list(out_root.iterdir())
+    assert len(runs) == 1
+    run_dir = runs[0]
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "checkpoint" / "latest" / "unet" / "config.json").exists()
+    assert (run_dir / "checkpoint" / "iter_000002").exists()
+    # the saved unet is surgered (8 input channels)
+    with open(run_dir / "checkpoint" / "latest" / "unet" / "config.json") as f:
+        assert json.load(f)["in_channels"] == 8
