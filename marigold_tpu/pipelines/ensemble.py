@@ -157,13 +157,42 @@ def ensemble_depth(
 
         iu, ju = jnp.triu_indices(E, k=1)
 
+        # Sufficient statistics for the pairwise term. With a_i = s_i d_i +
+        # t_i, mean((a_i - a_j)^2) expands exactly into second moments of
+        # the members:
+        #   s_i^2 G_ii + s_j^2 G_jj - 2 s_i s_j G_ij
+        #   + 2 (t_i - t_j)(s_i m_i - s_j m_j) + (t_i - t_j)^2
+        # so each solver cost eval is O(E^2) on a precomputed ExE Gram
+        # matrix instead of O(E^2 * N) over all pixels — the sequential
+        # BFGS line search goes from seconds of HBM traffic to microseconds
+        # (the reference evaluates the full pixel cost ~100x per solve,
+        # ensemble.py:138-173). The regularizer (median-reduced range
+        # penalty) still needs real maps; it is evaluated on a <=256px
+        # nearest-downsampled copy — it only nudges the solution at 0.02
+        # strength.
+        flat_stats = small.reshape(E, -1)
+        n_px = flat_stats.shape[1]
+        gram = flat_stats @ flat_stats.T / n_px  # [E,E]
+        mean_d = jnp.mean(flat_stats, axis=1)  # [E]
+        reg_small = _downsample_nearest_max_res(small, 256)
+
         def cost_fn(param):
-            aligned = apply_align(small, param)
-            flat_a = aligned.reshape(E, -1)
-            # sum over pairs of RMS differences (reference cost_fn 138-152)
-            diffs = flat_a[iu] - flat_a[ju]  # [P, N]
-            cost = jnp.sum(jnp.sqrt(jnp.mean(diffs**2, axis=1) + 1e-12))
+            if affine:
+                s, t = param[:E], param[E:]
+            else:
+                s, t = param, jnp.zeros_like(param)
+            q = jnp.square(s) * jnp.diag(gram)  # s_i^2 G_ii
+            u = s * mean_d
+            m2 = (
+                q[iu]
+                + q[ju]
+                - 2.0 * s[iu] * s[ju] * gram[iu, ju]
+                + 2.0 * (t[iu] - t[ju]) * (u[iu] - u[ju])
+                + jnp.square(t[iu] - t[ju])
+            )
+            cost = jnp.sum(jnp.sqrt(jnp.maximum(m2, 0.0) + 1e-12))
             if regularizer_strength > 0:
+                aligned = apply_align(reg_small, param)
                 pred, _ = _reduce(aligned, reduction, False)
                 err_near = jnp.abs(0.0 - jnp.min(pred))
                 err_far = jnp.abs(1.0 - jnp.max(pred))

@@ -183,3 +183,35 @@ def test_depth_ensemble_output_spans_unit_range(rng):
     pred = np.asarray(pred)
     assert abs(pred.max() - 1.0) < 1e-5, pred.max()
     assert abs(pred.min()) < 1e-6, pred.min()
+
+
+def test_gram_cost_equals_direct_pixel_cost(rng):
+    """The moment-based pairwise cost must equal the direct O(N) pixel cost
+    (it is an exact algebraic rewrite, not an approximation)."""
+    E, H, W = 5, 32, 32
+    members = rng.uniform(0.1, 1.0, (E, H, W, 1)).astype(np.float32)
+    s = rng.uniform(0.5, 2.0, E).astype(np.float32)
+    t = rng.uniform(-0.5, 0.5, E).astype(np.float32)
+
+    # direct
+    aligned = members * s.reshape(E, 1, 1, 1) + t.reshape(E, 1, 1, 1)
+    direct = 0.0
+    for i in range(E):
+        for j in range(i + 1, E):
+            direct += np.sqrt(((aligned[i] - aligned[j]) ** 2).mean() + 1e-12)
+
+    # gram
+    flat = members.reshape(E, -1).astype(np.float64)
+    G = flat @ flat.T / flat.shape[1]
+    m = flat.mean(1)
+    gram_cost = 0.0
+    for i in range(E):
+        for j in range(i + 1, E):
+            m2 = (
+                s[i] ** 2 * G[i, i] + s[j] ** 2 * G[j, j]
+                - 2 * s[i] * s[j] * G[i, j]
+                + 2 * (t[i] - t[j]) * (s[i] * m[i] - s[j] * m[j])
+                + (t[i] - t[j]) ** 2
+            )
+            gram_cost += np.sqrt(max(m2, 0) + 1e-12)
+    assert abs(direct - gram_cost) < 1e-4, (direct, gram_cost)
