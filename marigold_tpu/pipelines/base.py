@@ -57,17 +57,24 @@ class DiffusionCore:
         text_params: Optional[dict],
         schedule: DiffusionSchedule,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
         self.text_cfg = text_cfg
         self.schedule = schedule
         self.dtype = dtype
+        self.mesh = mesh  # jax.sharding.Mesh with a "data" axis, or None
         self.unet_params = W.cast_tree(unet_params, dtype)
         self.vae_params = W.cast_tree(vae_params, dtype)
         self.text_params = (
             W.cast_tree(text_params, dtype) if text_params is not None else None
         )
+        if mesh is not None:
+            from marigold_tpu.parallel.mesh import replicate
+
+            self.unet_params = replicate(mesh, self.unet_params)
+            self.vae_params = replicate(mesh, self.vae_params)
         self._empty_text_embed = None
         self._jit_cache: dict = {}
 
@@ -176,6 +183,14 @@ class DiffusionCore:
         target_ch = latent_ch * max(n_targets, 1)
         ds = vae_cfg.downscale_factor
         E = ensemble_size
+        mesh = self.mesh
+        if mesh is not None:
+            # shard the ensemble axis over the mesh's `data` axis riding
+            # ICI: members are independent trajectories, so XLA partitions
+            # the whole denoise with zero collectives and inserts one
+            # all-gather before the ensemble reduction (SURVEY.md §2.6).
+            n_dev = mesh.shape["data"]
+            chunk = -(-E // n_dev) * n_dev  # one sharded mega-chunk
         n_chunks = -(-E // chunk)
         e_pad = n_chunks * chunk
         ens_kwargs = dict(ensemble_opts)
@@ -226,6 +241,12 @@ class DiffusionCore:
             )
             if e_pad > E:
                 noise = jnp.concatenate([noise, noise[: e_pad - E]], axis=0)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                noise = jax.lax.with_sharding_constraint(
+                    noise, NamedSharding(mesh, P("data", None, None, None))
+                )
 
             if n_chunks == 1:
                 preds = denoise_decode(unet_params, vae_params, rgb_lat, noise, text)
@@ -238,6 +259,15 @@ class DiffusionCore:
                     chunks,
                 )
                 preds = preds.reshape((e_pad,) + preds.shape[2:])
+            if mesh is not None:
+                # one all-gather: the ensemble reduction is cheap and the
+                # partitioner mishandles non-divisible slices of sharded
+                # sort operands — replicate members explicitly first.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                preds = jax.lax.with_sharding_constraint(
+                    preds, NamedSharding(mesh, P())
+                )
             preds = preds[:E, : crop_hw[0], : crop_hw[1], :]
 
             # ensemble reduce (inlined, still on device)
@@ -384,8 +414,15 @@ class BasePipeline:
         self.shift_invariant = pipe_cfg.get("shift_invariant", True)
 
     @classmethod
-    def from_pretrained(cls, ckpt_dir: str, dtype=jnp.bfloat16, **kwargs):
+    def from_pretrained(cls, ckpt_dir: str, dtype=jnp.bfloat16, mesh=None,
+                        **kwargs):
         core, pipe_cfg = load_pipeline_components(ckpt_dir, dtype=dtype)
+        if mesh is not None:
+            core.mesh = mesh
+            from marigold_tpu.parallel.mesh import replicate
+
+            core.unet_params = replicate(mesh, core.unet_params)
+            core.vae_params = replicate(mesh, core.vae_params)
         return cls(core, pipe_cfg)
 
     # ---------------- denoising orchestration ---------------- #
@@ -416,15 +453,12 @@ class BasePipeline:
 
         opts = tuple(sorted((ensemble_kwargs or {}).items()))
         if self.mode == "depth":
-            opts = tuple(
-                sorted(
-                    dict(
-                        scale_invariant=self.scale_invariant,
-                        shift_invariant=self.shift_invariant,
-                        **(ensemble_kwargs or {}),
-                    ).items()
-                )
+            merged = dict(
+                scale_invariant=self.scale_invariant,
+                shift_invariant=self.shift_invariant,
             )
+            merged.update(ensemble_kwargs or {})
+            opts = tuple(sorted(merged.items()))
 
         fn = core.get_fused_fn(
             hp, wp, denoising_steps, ensemble_size, chunk, self.mode,

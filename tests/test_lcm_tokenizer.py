@@ -1,0 +1,107 @@
+"""LCM scheduler + CLIP tokenizer tests."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from marigold_tpu.core.lcm import LCMSchedule
+from marigold_tpu.core.scheduler import DiffusionSchedule
+from marigold_tpu.models.tokenizer import CLIPTokenizer
+from marigold_tpu.models.clip_text import BOS_TOKEN_ID, EOS_TOKEN_ID
+
+
+def test_lcm_timesteps_grid():
+    lcm = LCMSchedule.create()
+    ts = lcm.inference_timesteps(4)
+    assert len(ts) == 4
+    assert ts[0] == 999  # grid ends at k*50-1 = 999
+    assert all(np.diff(ts) < 0)
+    # all on the 50-point training grid: t % 20 == 19
+    assert all(t % 20 == 19 for t in ts)
+    ts1 = lcm.inference_timesteps(1)
+    assert list(ts1) == [999]
+
+
+def test_lcm_boundary_conditions():
+    lcm = LCMSchedule.create()
+    c_skip, c_out = lcm.boundary_scalings(jnp.asarray(0))
+    # at t=0 the consistency function must be the identity
+    assert abs(float(c_skip) - 1.0) < 1e-6 and abs(float(c_out)) < 1e-6
+    c_skip999, c_out999 = lcm.boundary_scalings(jnp.asarray(999))
+    assert float(c_skip999) < 1e-4 and abs(float(c_out999) - 1.0) < 1e-4
+
+
+def test_lcm_step_last_returns_denoised():
+    lcm = LCMSchedule.create()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray(499)
+    x_t = lcm.base.add_noise(x0, eps, t)
+    # perfect epsilon prediction -> denoised ~= c_out*x0 + c_skip*x_t
+    prev, denoised = lcm.step(
+        eps, t, jnp.asarray(479), x_t, jnp.zeros_like(x_t),
+        is_last=jnp.asarray(True),
+    )
+    c_skip, c_out = lcm.boundary_scalings(t)
+    expected = float(c_out) * np.asarray(x0) + float(c_skip) * np.asarray(x_t)
+    np.testing.assert_allclose(np.asarray(denoised), expected, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(denoised), atol=1e-6)
+
+
+def _toy_tokenizer():
+    # vocab: byte symbols + merged tokens
+    vocab = {}
+    # minimal: single chars with </w>, plus merges for "lo" "low</w>"
+    for tok in ["l", "o", "w", "e", "r", "l</w>", "o</w>", "w</w>", "e</w>",
+                "r</w>", "lo", "low</w>", "er</w>", "a", "a</w>"]:
+        vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = BOS_TOKEN_ID
+    vocab["<|endoftext|>"] = EOS_TOKEN_ID
+    merges = [("l", "o"), ("lo", "w</w>"), ("e", "r</w>")]
+    return CLIPTokenizer(vocab, merges)
+
+
+def test_tokenizer_empty_prompt_is_bos_eos():
+    tok = _toy_tokenizer()
+    batch = tok("", padding="do_not_pad")
+    assert batch.input_ids == [[BOS_TOKEN_ID, EOS_TOKEN_ID]]
+
+
+def test_tokenizer_bpe_merges():
+    tok = _toy_tokenizer()
+    ids = tok.encode("low")
+    assert ids == [tok.encoder["low</w>"]]
+    ids = tok.encode("lower")
+    assert ids == [tok.encoder["lo"], tok.encoder["w"], tok.encoder["er</w>"]]
+
+
+def test_tokenizer_padding_and_files(tmp_path):
+    tok = _toy_tokenizer()
+    b = tok("low", padding="max_length", max_length=6)
+    assert len(b.input_ids[0]) == 6
+    assert b.input_ids[0][0] == BOS_TOKEN_ID
+    assert b.input_ids[0][-1] == EOS_TOKEN_ID
+    # from_pretrained roundtrip
+    d = tmp_path / "tokenizer"
+    d.mkdir()
+    (d / "vocab.json").write_text(json.dumps(tok.encoder))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in
+                                     [("l", "o"), ("lo", "w</w>"), ("e", "r</w>")])
+    )
+    tok2 = CLIPTokenizer.from_pretrained(str(d))
+    assert tok2.encode("low") == tok.encode("low")
+
+
+def test_phase_timer():
+    from marigold_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer(sync=False)
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()

@@ -1,0 +1,150 @@
+"""Multi-device (8 virtual CPU devices) sharding tests — the TPU analog of
+multi-node testing without a cluster (SURVEY.md §4 implication d)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from fixtures import make_tiny_checkpoint
+from marigold_tpu.parallel.mesh import get_mesh, shard_batch, replicate
+
+
+def test_eight_virtual_devices_present():
+    assert jax.device_count() >= 8
+
+
+def test_mesh_creation_and_sharding():
+    mesh = get_mesh(8)
+    assert mesh.shape["data"] == 8
+    x = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+    xs = shard_batch(mesh, x)
+    # leading dim split over 8 devices
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+    r = replicate(mesh, x)
+    assert len(r.sharding.device_set) == 8
+
+
+@pytest.fixture(scope="module")
+def depth_ckpt(tmp_path_factory):
+    return make_tiny_checkpoint(str(tmp_path_factory.mktemp("m")), mode="depth")
+
+
+def test_sharded_ensemble_inference_matches_single_device(depth_ckpt, rng):
+    """The mesh-sharded fused pipeline must produce the same depth map as
+    the single-device path (same key -> same noise; sharding is layout,
+    not math)."""
+    from marigold_tpu import MarigoldDepthPipeline
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (40, 48, 3), dtype=np.uint8), "RGB"
+    )
+    # alignment disabled: the BFGS solver chaotically amplifies reduction
+    # -order float differences on uncorrelated tiny-model members; the
+    # sharding contract is about the denoise/decode/reduce math
+    kw = dict(
+        denoising_steps=1, ensemble_size=8, processing_res=32, seed=5,
+        show_progress_bar=False, color_map=None,
+        ensemble_kwargs=dict(scale_invariant=False, shift_invariant=False),
+    )
+
+    pipe1 = MarigoldDepthPipeline.from_pretrained(depth_ckpt, dtype=jnp.float32)
+    a = pipe1(img, batch_size=8, **kw).depth_np
+
+    mesh = get_mesh(8)
+    pipe8 = MarigoldDepthPipeline.from_pretrained(
+        depth_ckpt, dtype=jnp.float32, mesh=mesh
+    )
+    b = pipe8(img, **kw).depth_np
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_sharded_inference_uneven_ensemble(depth_ckpt, rng):
+    """E=10 on 8 devices: padded to 16, cropped back — must still work."""
+    from marigold_tpu import MarigoldDepthPipeline
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (32, 32, 3), dtype=np.uint8), "RGB"
+    )
+    mesh = get_mesh(8)
+    pipe = MarigoldDepthPipeline.from_pretrained(
+        depth_ckpt, dtype=jnp.float32, mesh=mesh
+    )
+    out = pipe(
+        img, denoising_steps=1, ensemble_size=10, processing_res=32, seed=1,
+        show_progress_bar=False, color_map=None,
+    )
+    assert out.depth_np.shape == (32, 32)
+    assert np.isfinite(out.depth_np).all()
+    assert out.uncertainty is not None
+
+
+def test_train_step_gradients_match_across_device_counts(rng):
+    """Data-parallel training on 8 devices must produce (numerically) the
+    same update as single-device on the same global batch — XLA's psum from
+    sharding annotations is semantically an exact mean."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from marigold_tpu.core.scheduler import DiffusionSchedule
+    from marigold_tpu.models import unet as unet_lib, vae as vae_lib
+    from marigold_tpu.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    unet_cfg = unet_lib.UNetConfig(
+        sample_size=8, in_channels=8, out_channels=4,
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=2, attention_head_dim=(2, 4),
+        cross_attention_dim=12, norm_num_groups=4,
+    )
+    vae_cfg = vae_lib.VAEConfig(
+        block_out_channels=(8, 16), layers_per_block=1, latent_channels=4,
+        norm_num_groups=4,
+    )
+    schedule = DiffusionSchedule.create()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    up = unet_lib.init_params(k1, unet_cfg)
+    vp = vae_lib.init_params(k2, vae_cfg)
+    opt = make_optimizer(1e-4)
+    step = make_train_step(unet_cfg, vae_cfg, schedule, opt)
+
+    B, H, W = 8, 16, 16
+    batch = {
+        "rgb_norm": jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32),
+        "gt_norm": jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32),
+    }
+    text = jnp.zeros((1, 2, 12), jnp.float32)
+    k_step = jax.random.PRNGKey(3)
+
+    # single device
+    s1 = create_train_state(up, opt)
+    s1b, m1 = jax.jit(step)(s1, vp, text, batch, k_step)
+
+    # 8-device dp
+    mesh = get_mesh(8)
+    repl = NamedSharding(mesh, P())
+    dp = lambda nd: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
+    s8 = jax.device_put(create_train_state(up, opt), repl)
+    batch8 = {k: jax.device_put(v, dp(v.ndim)) for k, v in batch.items()}
+    with mesh:
+        s8b, m8 = jax.jit(step)(
+            s8, jax.device_put(vp, repl), jax.device_put(text, repl), batch8,
+            k_step,
+        )
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(s1b.params)
+    l8 = jax.tree_util.tree_leaves(s8b.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
