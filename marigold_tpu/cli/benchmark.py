@@ -1,0 +1,153 @@
+"""Zero-shot benchmark driver: the canonical eval protocols as one CLI.
+
+Role parity: the reference's 30+ bash scripts under script/*/eval/*.sh
+(SURVEY.md §2.5) — each pins (steps, ensemble, seed, processing_res,
+alignment) per dataset. One registry + one command replaces them:
+
+  python -m marigold_tpu.cli.benchmark --modality depth --benchmark nyu \
+      --checkpoint <ckpt> --base_data_dir $BASE_DATA_DIR --output_dir out/
+
+  python -m marigold_tpu.cli.benchmark --modality depth --benchmark all ...
+
+Protocol constants from the reference drivers (BASELINE.md):
+  depth v1-1: 1 step, ensemble 10, seed 1234; processing_res 0 for
+  NYU/KITTI/ScanNet, 756 ETH3D, 640 DIODE; LS alignment.
+  normals: 4 steps, ensemble 10; res 640 (ScanNet/NYU/iBims), 768
+  (DIODE/OASIS). IID: 4 steps, ensemble 1; appearance 640, lighting 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+# benchmark name -> (dataset_config, protocol overrides)
+DEPTH_PROTOCOLS = {
+    "nyu": ("config/dataset_depth/data_nyu_test.yaml", dict(processing_res=0)),
+    "kitti": ("config/dataset_depth/data_kitti_eigen_test.yaml",
+              dict(processing_res=0)),
+    "eth3d": ("config/dataset_depth/data_eth3d.yaml", dict(processing_res=756)),
+    "scannet": ("config/dataset_depth/data_scannet_val.yaml",
+                dict(processing_res=0)),
+    "diode": ("config/dataset_depth/data_diode_all.yaml",
+              dict(processing_res=640)),
+}
+NORMALS_PROTOCOLS = {
+    "scannet": ("config/dataset_normals/data_scannet_test.yaml",
+                dict(processing_res=640)),
+    "nyu": ("config/dataset_normals/data_nyu_test.yaml",
+            dict(processing_res=640)),
+    "ibims": ("config/dataset_normals/data_ibims_test.yaml",
+              dict(processing_res=640)),
+    "diode": ("config/dataset_normals/data_diode_test.yaml",
+              dict(processing_res=768)),
+    "oasis": ("config/dataset_normals/data_oasis_test.yaml",
+              dict(processing_res=768)),
+}
+IID_PROTOCOLS = {
+    "appearance_interiorverse": (
+        "config/dataset_iid/data_appearance_interiorverse_test.yaml",
+        dict(processing_res=640),
+    ),
+    "lighting_hypersim": (
+        "config/dataset_iid/data_lighting_hypersim_test.yaml",
+        dict(processing_res=0),
+    ),
+}
+
+DEFAULTS = {
+    "depth": dict(denoise_steps=1, ensemble_size=10, seed=1234),
+    "normals": dict(denoise_steps=4, ensemble_size=10, seed=1234),
+    "iid": dict(denoise_steps=4, ensemble_size=1, seed=1234),
+}
+
+PROTOCOLS = {
+    "depth": DEPTH_PROTOCOLS,
+    "normals": NORMALS_PROTOCOLS,
+    "iid": IID_PROTOCOLS,
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Run the zero-shot eval protocol")
+    p.add_argument("--modality", choices=["depth", "normals", "iid"],
+                   default="depth")
+    p.add_argument("--benchmark", type=str, default="all",
+                   help="dataset key or 'all'")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--base_data_dir", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="output/eval")
+    p.add_argument("--ensemble_size", type=int, default=None)
+    p.add_argument("--denoise_steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--skip_infer", action="store_true",
+                   help="Only evaluate existing predictions.")
+    p.add_argument("--old_protocol", action="store_true",
+                   help="CVPR v1-0 depth protocol (50 steps).")
+    return p
+
+
+def main(argv=None):
+    from marigold_tpu.cli import apply_platform_env
+
+    apply_platform_env()
+    from marigold_tpu.cli.eval import main as eval_main
+    from marigold_tpu.cli.infer import main as infer_main
+
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    base_data_dir = args.base_data_dir or os.environ.get("BASE_DATA_DIR")
+    if not base_data_dir:
+        raise SystemExit("--base_data_dir or $BASE_DATA_DIR required")
+
+    table = PROTOCOLS[args.modality]
+    names = list(table) if args.benchmark == "all" else [args.benchmark]
+    defaults = dict(DEFAULTS[args.modality])
+    if args.old_protocol and args.modality == "depth":
+        defaults["denoise_steps"] = 50
+    for k in ("ensemble_size", "denoise_steps", "seed"):
+        if getattr(args, k) is not None:
+            defaults[k] = getattr(args, k)
+
+    results = {}
+    for name in names:
+        cfg_path, overrides = table[name]
+        proto = dict(defaults, **overrides)
+        out_base = os.path.join(args.output_dir, args.modality, name)
+        pred_dir = os.path.join(out_base, "prediction")
+        metric_dir = os.path.join(out_base, "eval_metric")
+        logging.info(f"=== {args.modality}/{name}: {proto} ===")
+
+        if not args.skip_infer:
+            rc = infer_main([
+                "--modality", args.modality,
+                "--checkpoint", args.checkpoint,
+                "--dataset_config", cfg_path,
+                "--base_data_dir", base_data_dir,
+                "--output_dir", pred_dir,
+                "--denoise_steps", str(proto["denoise_steps"]),
+                "--ensemble_size", str(proto["ensemble_size"]),
+                "--processing_res", str(proto["processing_res"]),
+                "--seed", str(proto["seed"]),
+            ])
+            if rc != 0:
+                return rc
+        rc = eval_main([
+            "--modality", args.modality,
+            "--dataset_config", cfg_path,
+            "--base_data_dir", base_data_dir,
+            "--prediction_dir", os.path.join(
+                pred_dir, f"{args.modality}_npy"
+            ),
+            "--output_dir", metric_dir,
+        ])
+        if rc != 0:
+            return rc
+        results[name] = metric_dir
+    logging.info(f"benchmark metric dirs: {results}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

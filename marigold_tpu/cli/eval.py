@@ -168,7 +168,7 @@ def main(argv=None):
     from marigold_tpu.utils.logging_util import eval_dict_to_text
 
     cfg = recursive_load_config(args.dataset_config)
-    cfg_data = cfg.dataset
+    cfg_data = cfg.get("dataset") or cfg  # flat configs supported
     dataset = get_dataset(
         cfg_data, base_data_dir=args.base_data_dir, mode=DatasetMode.EVAL
     )

@@ -58,7 +58,8 @@ def main(argv=None):
     seed = args.seed if args.seed is not None else int(time.time())
     seed_all(seed)
 
-    cfg_data = recursive_load_config(args.dataset_config).dataset
+    cfg = recursive_load_config(args.dataset_config)
+    cfg_data = cfg.get("dataset") or cfg  # flat configs supported
     dataset = get_dataset(
         cfg_data, base_data_dir=args.base_data_dir, mode=DatasetMode.RGB_ONLY
     )
