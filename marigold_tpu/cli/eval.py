@@ -31,6 +31,9 @@ def build_parser():
     parser.add_argument("--alignment_max_res", type=int, default=None)
     parser.add_argument("--no_cuda", action="store_true", help="(ignored; kept "
                         "for reference CLI compatibility)")
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="(iid) local VGG16+LPIPS weight file; also "
+                             "$LPIPS_WEIGHTS. Skipped when unavailable.")
     return parser
 
 
@@ -124,6 +127,16 @@ def eval_iid(args, dataset, metric_names):
     tracker = M.MetricTracker()
     rows = []
     metric_fns = {"psnr": M.psnr, "ssim": M.ssim}
+    from marigold_tpu.eval.lpips import get_lpips
+
+    lpips_fn = get_lpips(getattr(args, "lpips_weights", None))
+    if lpips_fn is not None:
+        metric_fns["lpips"] = lpips_fn
+    elif "lpips" in metric_names:
+        import logging as _logging
+
+        _logging.warning("lpips requested but no weights available; skipping")
+        metric_names = [m for m in metric_names if m != "lpips"]
     for i in range(len(dataset)):
         sample = dataset[i]
         rel = sample["rgb_relative_path"]

@@ -330,6 +330,142 @@ class DiffusionCore:
             )
         return self._jit_cache[key]
 
+    # -------------------------------------------------------------- #
+    # batched multi-image serving: N images x E members in one program
+
+    def _build_batch_fn(self, num_steps: int, ensemble_size: int, chunk: int,
+                        mode: str, n_targets: int, out_hw, crop_hw,
+                        ensemble_opts: tuple, n_images: int):
+        """rgb [NI,Hp,Wp,3] + key -> (pred [NI,h,w,C], unc [NI,h,w,C]).
+        Throughput-oriented: all images' members share the denoise batch,
+        improving MXU utilization over per-image serving."""
+        from marigold_tpu.pipelines import ensemble as ens
+
+        schedule = self.schedule
+        unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
+        ts = schedule.inference_timesteps(num_steps)
+        prev_ts = schedule.prev_timesteps(ts)
+        ts_table = jnp.asarray(np.stack([ts, prev_ts], 1), jnp.int32)
+        latent_ch = vae_cfg.latent_channels
+        target_ch = latent_ch * max(n_targets, 1)
+        E, NI = ensemble_size, n_images
+        total = NI * E
+        n_chunks = -(-total // chunk)
+        t_pad = n_chunks * chunk
+        ens_kwargs = dict(ensemble_opts)
+
+        def denoise_decode(unet_params, vae_params, rgb_rows, noise, text):
+            target = noise.astype(self.dtype)
+
+            def step(carry, t_pair):
+                x = jnp.concatenate([rgb_rows, carry], axis=-1)
+                out = unet_lib.apply(unet_params, unet_cfg, x, t_pair[0], text)
+                return (
+                    schedule.ddim_step(out, t_pair[0], t_pair[1], carry)
+                    .astype(self.dtype),
+                    None,
+                )
+
+            target, _ = jax.lax.scan(step, target, ts_table)
+            if mode == "depth":
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                d = jnp.mean(img.astype(jnp.float32), axis=-1, keepdims=True)
+                return (jnp.clip(d, -1.0, 1.0) + 1.0) / 2.0
+            if mode == "normals":
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                n = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+                return n / jnp.clip(
+                    jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6, None
+                )
+            outs = []
+            for i in range(n_targets):
+                z = target[..., i * latent_ch : (i + 1) * latent_ch]
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, z)
+                outs.append((jnp.clip(img.astype(jnp.float32), -1, 1) + 1) / 2)
+            return jnp.concatenate(outs, axis=-1)
+
+        def reduce_one(members):  # [E, h, w, C] -> (pred, unc)
+            if E == 1:
+                pred = members
+                if mode == "depth":
+                    d_min, d_max = jnp.min(pred), jnp.max(pred)
+                    pred = (pred - d_min) / jnp.clip(d_max - d_min, 1e-6, None)
+                return pred[0], jnp.zeros_like(pred[0][..., :1])
+            if mode == "depth":
+                pred, unc = ens.ensemble_depth(
+                    members,
+                    scale_invariant=ens_kwargs.get("scale_invariant", True),
+                    shift_invariant=ens_kwargs.get("shift_invariant", True),
+                    output_uncertainty=True,
+                    reduction=ens_kwargs.get("reduction", "median"),
+                )
+            elif mode == "normals":
+                pred, unc = ens.ensemble_normals(
+                    members, output_uncertainty=True,
+                    reduction=ens_kwargs.get("reduction", "closest"),
+                )
+            else:
+                pred, unc = ens.ensemble_iid(
+                    members, output_uncertainty=True,
+                    reduction=ens_kwargs.get("reduction", "median"),
+                )
+            return pred[0], unc[0]
+
+        def fused(unet_params, vae_params, rgb, key, text):
+            rgb_lat = vae_lib.encode_mean_scaled(
+                vae_params, vae_cfg, rgb.astype(self.dtype)
+            )  # [NI,h,w,4]
+            h_lat, w_lat = rgb_lat.shape[1], rgb_lat.shape[2]
+            noise = jax.random.normal(
+                key, (NI, E, h_lat, w_lat, target_ch), jnp.float32
+            ).reshape(total, h_lat, w_lat, target_ch)
+            rgb_rows = jnp.repeat(rgb_lat, E, axis=0).astype(self.dtype)
+            if t_pad > total:
+                pad_n = t_pad - total
+                noise = jnp.concatenate([noise, noise[:pad_n]], axis=0)
+                rgb_rows = jnp.concatenate([rgb_rows, rgb_rows[:pad_n]], axis=0)
+
+            if n_chunks == 1:
+                preds = denoise_decode(
+                    unet_params, vae_params, rgb_rows, noise, text
+                )
+            else:
+                rr = rgb_rows.reshape((n_chunks, chunk) + rgb_rows.shape[1:])
+                nn = noise.reshape((n_chunks, chunk) + noise.shape[1:])
+                preds = jax.lax.map(
+                    lambda ab: denoise_decode(
+                        unet_params, vae_params, ab[0], ab[1], text
+                    ),
+                    (rr, nn),
+                )
+                preds = preds.reshape((t_pad,) + preds.shape[2:])
+            preds = preds[:total, : crop_hw[0], : crop_hw[1], :]
+            preds = preds.reshape((NI, E) + preds.shape[1:])
+
+            pred, unc = jax.lax.map(reduce_one, preds)  # [NI,h,w,C]
+            if out_hw is not None and out_hw != crop_hw:
+                pred = image_util.resize_jax(pred, out_hw, "bilinear")
+                unc = image_util.resize_jax(unc, out_hw, "bilinear")
+                if mode == "normals":
+                    pred = pred / jnp.clip(
+                        jnp.linalg.norm(pred, axis=-1, keepdims=True),
+                        1e-6, None,
+                    )
+            return pred, unc
+
+        return jax.jit(fused)
+
+    def get_batch_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
+                     n_targets, out_hw, crop_hw, ensemble_opts, n_images):
+        key = ("batch", hp, wp, num_steps, ensemble_size, chunk, mode,
+               n_targets, out_hw, crop_hw, ensemble_opts, n_images)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_batch_fn(
+                num_steps, ensemble_size, chunk, mode, n_targets, out_hw,
+                crop_hw, ensemble_opts, n_images,
+            )
+        return self._jit_cache[key]
+
 
 # ------------------------------------------------------------------ #
 # checkpoint loading
@@ -478,6 +614,55 @@ class BasePipeline:
     def _check_inference_step(self, n_step: int) -> None:
         for msg in check_trailing_zero_snr(self.core.schedule, n_step):
             logger.warning(msg)
+
+    def _infer_fused_batch(
+        self,
+        rgb_norm_batch: np.ndarray,  # [NI,H,W,3] in [-1,1], same proc shape
+        denoising_steps: int,
+        ensemble_size: int,
+        batch_size: int = 0,
+        seed: Optional[int] = None,
+        out_hw: Optional[tuple] = None,
+        ensemble_kwargs: Optional[dict] = None,
+    ):
+        """Batched serving: returns (pred [NI,h,w,C], unc [NI,h,w,C] or None)."""
+        core = self.core
+        x, h0, w0 = pad_to_multiple_of(
+            rgb_norm_batch, core.vae_cfg.downscale_factor
+        )
+        hp, wp = x.shape[1], x.shape[2]
+        ni = x.shape[0]
+        if batch_size <= 0:
+            batch_size = find_batch_size(
+                ensemble_size=ni * ensemble_size,
+                input_res=max(hp, wp),
+                dtype_bytes=2 if core.dtype == jnp.bfloat16 else 4,
+            )
+        chunk = min(batch_size, ni * ensemble_size)
+
+        opts = tuple(sorted((ensemble_kwargs or {}).items()))
+        if self.mode == "depth":
+            merged = dict(
+                scale_invariant=self.scale_invariant,
+                shift_invariant=self.shift_invariant,
+            )
+            merged.update(ensemble_kwargs or {})
+            opts = tuple(sorted(merged.items()))
+
+        fn = core.get_batch_fn(
+            hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
+            self.n_targets, out_hw, (h0, w0), opts, ni,
+        )
+        key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
+        pred, unc = fn(
+            core.unet_params, core.vae_params, jnp.asarray(x), key,
+            core.empty_text_embed,
+        )
+        pred_np = np.asarray(jax.device_get(pred)).astype(np.float32)
+        unc_np = np.asarray(jax.device_get(unc))
+        if ensemble_size <= 1:
+            unc_np = None
+        return pred_np, unc_np
 
     def _run_ensemble(
         self,

@@ -106,3 +106,66 @@ class MarigoldDepthPipeline(BasePipeline):
             depth_colored=depth_colored_img,
             uncertainty=pred_uncert,
         )
+
+    def batch_call(
+        self,
+        input_images,
+        denoising_steps: Optional[int] = None,
+        ensemble_size: int = 1,
+        processing_res: Optional[int] = None,
+        match_input_res: bool = True,
+        resample_method: str = "bilinear",
+        batch_size: int = 0,
+        seed: Optional[int] = None,
+        color_map: Optional[str] = None,
+        ensemble_kwargs: Optional[Dict] = None,
+    ) -> list:
+        """Throughput-oriented batched serving: all images' ensemble members
+        share one fused program (new TPU-native capability; no reference
+        counterpart — the reference serves images one by one). Images must
+        share the same input resolution. Returns a list of
+        MarigoldDepthOutput."""
+        if denoising_steps is None:
+            denoising_steps = self.default_denoising_steps or 1
+        if processing_res is None:
+            processing_res = self.default_processing_resolution or 768
+        self._check_inference_step(denoising_steps)
+
+        rgbs = [image_to_array(im) for im in input_images]
+        shapes = {r.shape for r in rgbs}
+        assert len(shapes) == 1, f"images must share one shape, got {shapes}"
+        input_h, input_w = rgbs[0].shape[:2]
+        if processing_res > 0 and max(input_h, input_w) != processing_res:
+            nh, nw = image_util.resize_max_res_shape(
+                input_h, input_w, processing_res
+            )
+            rgbs = [
+                image_util.resize_np(r, (nh, nw), method=resample_method)
+                for r in rgbs
+            ]
+        out_hw = (input_h, input_w) if match_input_res else None
+        preds, uncs = self._infer_fused_batch(
+            np.stack(rgbs),
+            denoising_steps=denoising_steps,
+            ensemble_size=ensemble_size,
+            batch_size=batch_size,
+            seed=seed,
+            out_hw=out_hw,
+            ensemble_kwargs=ensemble_kwargs,
+        )
+        outputs = []
+        for i in range(preds.shape[0]):
+            depth = np.clip(preds[i, ..., 0], 0.0, 1.0).astype(np.float32)
+            unc = uncs[i, ..., 0] if uncs is not None else None
+            colored = None
+            if color_map is not None:
+                arr = image_util.colorize_depth_maps(depth, 0, 1, color_map)[0]
+                colored = Image.fromarray(
+                    image_util.float2int(image_util.chw2hwc(arr))
+                )
+            outputs.append(
+                MarigoldDepthOutput(
+                    depth_np=depth, depth_colored=colored, uncertainty=unc
+                )
+            )
+        return outputs

@@ -131,3 +131,30 @@ def test_depth_chunking_invariance(depth_ckpt, rgb_image):
     a = np.asarray(pipe._run_ensemble(rgb, 1, 4, batch_size=4, seed=3))
     b = np.asarray(pipe._run_ensemble(rgb, 1, 4, batch_size=1, seed=3))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_depth_batch_call(depth_ckpt, rng):
+    """Batched serving: N images in one fused program; per-image outputs
+    must match the single-image path's raw math (same seed => same noise
+    per image index is NOT guaranteed across paths, so check contract:
+    shapes, ranges, determinism, and that different images differ)."""
+    from marigold_tpu import MarigoldDepthPipeline
+
+    pipe = MarigoldDepthPipeline.from_pretrained(depth_ckpt, dtype=jnp.float32)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    outs = pipe.batch_call(
+        imgs, denoising_steps=1, ensemble_size=2, processing_res=32, seed=4,
+    )
+    assert len(outs) == 3
+    for o in outs:
+        assert o.depth_np.shape == (40, 56)
+        assert 0 <= o.depth_np.min() and o.depth_np.max() <= 1
+        assert o.uncertainty is not None
+    assert not np.array_equal(outs[0].depth_np, outs[1].depth_np)
+    outs2 = pipe.batch_call(
+        imgs, denoising_steps=1, ensemble_size=2, processing_res=32, seed=4,
+    )
+    np.testing.assert_array_equal(outs[1].depth_np, outs2[1].depth_np)

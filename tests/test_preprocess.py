@@ -92,3 +92,39 @@ def test_interiorverse_packing(tmp_path):
         names = tar.getnames()
     assert "./L3D001/000_albedo.exr" in names
     assert not any("002" in n for n in names)
+
+
+def test_lpips_with_synthetic_weights(tmp_path, rng):
+    """LPIPS structure check with random weights: zero distance for
+    identical inputs, positive for different ones, deterministic."""
+    import numpy as np
+
+    flat = {}
+    cfg = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+           (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+           (512, 512), (512, 512)]
+    for i, (cin, cout) in zip(
+        [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28], cfg
+    ):
+        flat[f"features.{i}.weight"] = rng.normal(
+            0, 0.05, (cout, cin, 3, 3)
+        ).astype(np.float32)
+        flat[f"features.{i}.bias"] = np.zeros(cout, np.float32)
+    for k, c in enumerate([64, 128, 256, 512, 512]):
+        flat[f"lins.{k}.weight"] = np.abs(
+            rng.normal(0, 1, (1, c, 1, 1))
+        ).astype(np.float32)
+    np.savez(tmp_path / "lpips.npz", **flat)
+
+    from marigold_tpu.eval.lpips import get_lpips
+
+    fn = get_lpips(str(tmp_path / "lpips.npz"))
+    assert fn is not None
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    assert fn(img, img) < 1e-6
+    other = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    d = fn(img, other)
+    assert d > 0
+    assert abs(fn(img, other) - d) < 1e-6
+    # missing weights -> None
+    assert get_lpips(str(tmp_path / "nope.npz")) is None
