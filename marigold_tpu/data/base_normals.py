@@ -153,8 +153,10 @@ class BaseNormalsDataset:
     def _read_bytes(self, rel_path) -> bytes:
         if self.is_tar:
             if self.tar_obj is None:
-                self.tar_obj = tarfile.open(self.dataset_dir)
-            return self.tar_obj.extractfile("./" + rel_path).read()
+                from marigold_tpu.data.tario import TarIndex
+
+                self.tar_obj = TarIndex(self.dataset_dir)
+            return self.tar_obj.read(rel_path)
         with open(os.path.join(self.dataset_dir, rel_path), "rb") as f:
             return f.read()
 

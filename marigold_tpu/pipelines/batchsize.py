@@ -39,10 +39,11 @@ def device_memory_bytes(device=None) -> int:
     return 16 * 1024**3
 
 
-# empirical activation bytes per latent pixel per sample for the SD2 UNet
-# forward (bf16), including skip tensors and XLA temporaries; measured on
-# v5e at 768px (96x96 latents). fp32 doubles it.
-_ACT_BYTES_PER_LATENT_PIXEL_BF16 = 3.0e5
+# empirical activation bytes per latent pixel per sample for the SD2
+# UNet forward + VAE decode (bf16), including skip tensors and XLA
+# temporaries; measured on v5e at 768px (96x96 latents): a 20-sample batch
+# fits comfortably in the ~13GB activation budget. fp32 doubles it.
+_ACT_BYTES_PER_LATENT_PIXEL_BF16 = 6.5e4
 
 
 def find_batch_size(
