@@ -31,6 +31,11 @@ def build_parser():
     parser.add_argument("--alignment_max_res", type=int, default=None)
     parser.add_argument("--no_cuda", action="store_true", help="(ignored; kept "
                         "for reference CLI compatibility)")
+    parser.add_argument("--targets_to_eval_in_linear_space", type=str,
+                        nargs="*", default=[],
+                        help="(iid) targets converted sRGB->linear before "
+                             "metrics (appearance model protocol)")
+    parser.add_argument("--use_mask", action="store_true", default=True)
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help="(iid) local VGG16+LPIPS weight file; also "
                              "$LPIPS_WEIGHTS. Skipped when unavailable.")
@@ -122,7 +127,13 @@ def eval_normals(args, dataset, metric_names):
 
 def eval_iid(args, dataset, metric_names):
     from marigold_tpu.eval import metrics as M
+    from marigold_tpu.data.image_io import img_linear2srgb, img_srgb2linear
 
+    linear_targets = set(
+        t for t in getattr(args, "targets_to_eval_in_linear_space", []) or []
+        if t and t != "None"
+    )
+    is_hypersim = "hypersim" in getattr(dataset, "disp_name", "")
     target_names = None
     tracker = M.MetricTracker()
     rows = []
@@ -156,6 +167,13 @@ def eval_iid(args, dataset, metric_names):
             if pred.shape[0] == 3 and pred.ndim == 3:
                 pred = np.moveaxis(pred, 0, -1)
             gt = np.asarray(sample[t])
+            # appearance protocol: evaluate listed targets in linear space
+            if t in linear_targets:
+                pred, gt = img_srgb2linear(pred), img_srgb2linear(gt)
+            # lighting protocol: Hypersim GT/preds are linear; albedo is
+            # evaluated in sRGB (reference script/iid/eval.py:182-196)
+            if is_hypersim and len(target_names) == 3 and t == "albedo":
+                pred, gt = img_linear2srgb(pred), img_linear2srgb(gt)
             mask = sample.get(f"mask_{t}")
             mask = np.asarray(mask, bool) if mask is not None else None
             for mname in metric_names:

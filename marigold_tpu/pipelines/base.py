@@ -65,6 +65,7 @@ class DiffusionCore:
         self.schedule = schedule
         self.dtype = dtype
         self.mesh = mesh  # jax.sharding.Mesh with a "data" axis, or None
+        self.lcm = None  # LCMSchedule for legacy v1-0 LCM checkpoints
         self.unet_params = W.cast_tree(unet_params, dtype)
         self.vae_params = W.cast_tree(vae_params, dtype)
         self.text_params = (
@@ -175,10 +176,18 @@ class DiffusionCore:
         from marigold_tpu.pipelines import ensemble as ens
 
         schedule = self.schedule
+        lcm = getattr(self, "lcm", None)
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
-        ts = schedule.inference_timesteps(num_steps)
-        prev_ts = schedule.prev_timesteps(ts)
-        ts_table = jnp.asarray(np.stack([ts, prev_ts], 1), jnp.int32)
+        if lcm is not None:
+            ts = lcm.inference_timesteps(num_steps)
+            prev_ts = np.concatenate([ts[1:], [-1]])  # re-noise to next t
+            step_idx = np.arange(len(ts))
+        else:
+            ts = schedule.inference_timesteps(num_steps)
+            prev_ts = schedule.prev_timesteps(ts)
+            step_idx = np.arange(len(ts))
+        ts_table = jnp.asarray(np.stack([ts, prev_ts, step_idx], 1), jnp.int32)
+        n_steps_total = len(ts)
         latent_ch = vae_cfg.latent_channels
         target_ch = latent_ch * max(n_targets, 1)
         ds = vae_cfg.downscale_factor
@@ -195,7 +204,8 @@ class DiffusionCore:
         e_pad = n_chunks * chunk
         ens_kwargs = dict(ensemble_opts)
 
-        def denoise_decode(unet_params, vae_params, rgb_lat, noise, text):
+        def denoise_decode(unet_params, vae_params, rgb_lat, noise, text,
+                           lcm_key=None):
             eb = noise.shape[0]
             rgb_b = jnp.broadcast_to(rgb_lat, (eb,) + rgb_lat.shape[1:]).astype(
                 self.dtype
@@ -205,12 +215,18 @@ class DiffusionCore:
             def step(carry, t_pair):
                 x = jnp.concatenate([rgb_b, carry], axis=-1)
                 out = unet_lib.apply(unet_params, unet_cfg, x, t_pair[0], text)
-                return (
-                    schedule.ddim_step(out, t_pair[0], t_pair[1], carry).astype(
-                        self.dtype
-                    ),
-                    None,
-                )
+                if lcm is not None:
+                    fresh = jax.random.normal(
+                        jax.random.fold_in(lcm_key, t_pair[2]),
+                        carry.shape, jnp.float32,
+                    )
+                    new, _ = lcm.step(
+                        out, t_pair[0], t_pair[1], carry, fresh,
+                        is_last=t_pair[2] == n_steps_total - 1,
+                    )
+                else:
+                    new = schedule.ddim_step(out, t_pair[0], t_pair[1], carry)
+                return new.astype(self.dtype), None
 
             target, _ = jax.lax.scan(step, target, ts_table)
 
@@ -235,6 +251,9 @@ class DiffusionCore:
             rgb_lat = vae_lib.encode_mean_scaled(
                 vae_params, vae_cfg, rgb.astype(self.dtype)
             )
+            key_lcm = None
+            if lcm is not None:
+                key, key_lcm = jax.random.split(key)
             h_lat, w_lat = rgb_lat.shape[1], rgb_lat.shape[2]
             noise = jax.random.normal(
                 key, (E, h_lat, w_lat, target_ch), jnp.float32
@@ -249,12 +268,14 @@ class DiffusionCore:
                 )
 
             if n_chunks == 1:
-                preds = denoise_decode(unet_params, vae_params, rgb_lat, noise, text)
+                preds = denoise_decode(
+                    unet_params, vae_params, rgb_lat, noise, text, key_lcm
+                )
             else:
                 chunks = noise.reshape((n_chunks, chunk) + noise.shape[1:])
                 preds = jax.lax.map(
                     lambda nz: denoise_decode(
-                        unet_params, vae_params, rgb_lat, nz, text
+                        unet_params, vae_params, rgb_lat, nz, text, key_lcm
                     ),
                     chunks,
                 )
@@ -490,12 +511,25 @@ def load_pipeline_components(ckpt_dir: str, dtype=jnp.bfloat16):
     else:
         text_cfg, text_params = None, None
 
-    schedule = DiffusionSchedule.from_pretrained(os.path.join(ckpt_dir, "scheduler"))
+    sched_dir = os.path.join(ckpt_dir, "scheduler")
+    schedule = DiffusionSchedule.from_pretrained(sched_dir)
 
     core = DiffusionCore(
         unet_cfg, unet_params, vae_cfg, vae_params, text_cfg, text_params,
         schedule, dtype=dtype,
     )
+    # legacy LCM checkpoints (v1-0): detect from the scheduler class name
+    with open(os.path.join(sched_dir, "scheduler_config.json")) as f:
+        sched_cfg = json.load(f)
+    if "LCM" in str(sched_cfg.get("_class_name", "")):
+        from marigold_tpu.core.lcm import LCMSchedule
+
+        core.lcm = LCMSchedule.create(
+            base=schedule,
+            original_inference_steps=int(
+                sched_cfg.get("original_inference_steps", 50)
+            ),
+        )
     return core, pipe_cfg
 
 

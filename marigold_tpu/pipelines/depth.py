@@ -62,6 +62,12 @@ class MarigoldDepthPipeline(BasePipeline):
             processing_res = self.default_processing_resolution or 768
         assert processing_res >= 0
         assert ensemble_size >= 1
+        if self.core.lcm is not None:
+            logger.warning(
+                "LCM checkpoint detected: the LCM depth checkpoint is "
+                "deprecated; consider marigold-depth-v1-1 (reference "
+                "deprecation, marigold_depth_pipeline.py:368-377)"
+            )
         self._check_inference_step(denoising_steps)
 
         if seed is None and generator is not None:
@@ -129,6 +135,12 @@ class MarigoldDepthPipeline(BasePipeline):
             denoising_steps = self.default_denoising_steps or 1
         if processing_res is None:
             processing_res = self.default_processing_resolution or 768
+        if self.core.lcm is not None:
+            logger.warning(
+                "LCM checkpoint detected: the LCM depth checkpoint is "
+                "deprecated; consider marigold-depth-v1-1 (reference "
+                "deprecation, marigold_depth_pipeline.py:368-377)"
+            )
         self._check_inference_step(denoising_steps)
 
         rgbs = [image_to_array(im) for im in input_images]

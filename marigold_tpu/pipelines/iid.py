@@ -133,6 +133,10 @@ class MarigoldIIDPipeline(BasePipeline):
             processing_res = self.default_processing_resolution or 768
         assert processing_res >= 0
         assert ensemble_size >= 1
+        if self.core.lcm is not None:
+            raise ValueError(
+                "LCM checkpoints are not supported for IID prediction"
+            )
         self._check_inference_step(denoising_steps)
 
         if seed is None and generator is not None:

@@ -58,6 +58,10 @@ class MarigoldNormalsPipeline(BasePipeline):
             processing_res = self.default_processing_resolution or 768
         assert processing_res >= 0
         assert ensemble_size >= 1
+        if self.core.lcm is not None:
+            raise ValueError(
+                "LCM checkpoints are not supported for normals prediction"
+            )
         self._check_inference_step(denoising_steps)
 
         if seed is None and generator is not None:

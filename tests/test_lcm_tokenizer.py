@@ -105,3 +105,39 @@ def test_phase_timer():
         pass
     assert t.counts["a"] == 2
     assert "a" in t.report()
+
+
+def test_lcm_checkpoint_pipeline(tmp_path, rng):
+    """A checkpoint whose scheduler_config declares LCMScheduler must run
+    the LCM sampling path in the depth pipeline and be rejected by
+    normals/IID."""
+    import json, os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_tiny_checkpoint
+    from PIL import Image
+
+    d = make_tiny_checkpoint(str(tmp_path / "ck"), mode="depth")
+    cfg_path = os.path.join(d, "scheduler", "scheduler_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["_class_name"] = "LCMScheduler"
+    cfg["original_inference_steps"] = 50
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    from marigold_tpu import MarigoldDepthPipeline, MarigoldNormalsPipeline
+
+    pipe = MarigoldDepthPipeline.from_pretrained(d, dtype=jnp.float32)
+    assert pipe.core.lcm is not None
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    )
+    out = pipe(img, denoising_steps=2, ensemble_size=2, processing_res=32,
+               seed=1, show_progress_bar=False, color_map=None)
+    assert out.depth_np.shape == (32, 32)
+    assert np.isfinite(out.depth_np).all()
+
+    npipe = MarigoldNormalsPipeline.from_pretrained(d, dtype=jnp.float32)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="LCM"):
+        npipe(img, denoising_steps=2, processing_res=32, show_progress_bar=False)
