@@ -658,8 +658,12 @@ class BasePipeline:
         seed: Optional[int] = None,
         out_hw: Optional[tuple] = None,
         ensemble_kwargs: Optional[dict] = None,
+        sync: bool = True,
     ):
-        """Batched serving: returns (pred [NI,h,w,C], unc [NI,h,w,C] or None)."""
+        """Batched serving: returns (pred [NI,h,w,C], unc [NI,h,w,C] or None).
+        With sync=False, returns device arrays without host transfer —
+        callers can pipeline several in-flight batches (steady-state
+        serving) and transfer when needed."""
         core = self.core
         x, h0, w0 = pad_to_multiple_of(
             rgb_norm_batch, core.vae_cfg.downscale_factor
@@ -692,6 +696,8 @@ class BasePipeline:
             core.unet_params, core.vae_params, jnp.asarray(x), key,
             core.empty_text_embed,
         )
+        if not sync:
+            return pred, (unc if ensemble_size > 1 else None)
         pred_np = np.asarray(jax.device_get(pred)).astype(np.float32)
         unc_np = np.asarray(jax.device_get(unc))
         if ensemble_size <= 1:
