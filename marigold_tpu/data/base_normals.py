@@ -8,7 +8,6 @@ color jitter; bilinear resize_to_hw.
 
 from __future__ import annotations
 
-import colorsys
 import io
 import os
 import random

@@ -19,7 +19,6 @@ from PIL import Image
 
 from marigold_tpu.pipelines import image_util
 from marigold_tpu.pipelines.base import BasePipeline, image_to_array
-from marigold_tpu.pipelines.ensemble import ensemble_depth
 
 logger = logging.getLogger(__name__)
 
