@@ -38,16 +38,19 @@ def _flash_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
     block_q, d = q_ref.shape
     num_kb = n_pad // block_k
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    # MXU inputs stay in the storage dtype (bf16 on the serving path — fp32
+    # matmuls run at a fraction of bf16 MXU rate); accumulation and the
+    # softmax state are fp32.
+    q = q_ref[:]
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
+        ) * scale  # [block_q, block_k] fp32
         col = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
@@ -59,7 +62,7 @@ def _flash_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
