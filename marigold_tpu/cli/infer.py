@@ -33,6 +33,14 @@ def build_parser():
     parser.add_argument("--half_precision", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=0)
+    parser.add_argument("--serving_batch", type=int, default=1,
+                        help="(depth) process N same-shape images per fused "
+                             "program for throughput (batched serving).")
+    parser.add_argument("--overwrite", action="store_true",
+                        help="Recompute predictions that already exist "
+                             "(default: skip existing files — the "
+                             "non-interactive analog of the reference's "
+                             "overwrite prompt, infer.py:172-190).")
     return parser
 
 
@@ -85,6 +93,45 @@ def main(argv=None):
         show_progress_bar=False,
     )
 
+    # batched-serving fast path (depth): group same-shape consecutive samples
+    if args.modality == "depth" and args.serving_batch > 1:
+        t0 = time.time()
+        pending = []  # (rgb_int, save_to)
+
+        def flush():
+            if not pending:
+                return
+            imgs = [p[0] for p in pending]
+            outs = pipe.batch_call(imgs, **{
+                k: v for k, v in common.items() if k != "show_progress_bar"
+            })
+            for (_, save_to), out in zip(pending, outs):
+                np.save(save_to, out.depth_np)
+            pending.clear()
+
+        for i in range(len(dataset)):
+            sample = dataset[i]
+            rgb_int = np.asarray(sample["rgb_int"], np.uint8)
+            rel = sample["rgb_relative_path"]
+            base = os.path.basename(rel)
+            scene = os.path.dirname(rel).replace(os.sep, "_")
+            pred_name = get_pred_name(base, dataset.name_mode, suffix=".npy")
+            save_to = os.path.join(
+                out_npy, (scene + "_" if scene else "") + pred_name
+            )
+            if os.path.exists(save_to) and not args.overwrite:
+                continue
+            if pending and pending[0][0].shape != rgb_int.shape:
+                flush()
+            pending.append((rgb_int, save_to))
+            if len(pending) >= args.serving_batch:
+                flush()
+            if (i + 1) % 50 == 0 or i == len(dataset) - 1:
+                rate = (i + 1) / (time.time() - t0)
+                logging.info(f"{i+1}/{len(dataset)} samples ({rate:.2f}/s)")
+        flush()
+        return 0
+
     t0 = time.time()
     for i in range(len(dataset)):
         sample = dataset[i]
@@ -94,11 +141,13 @@ def main(argv=None):
         scene = os.path.dirname(rel).replace(os.sep, "_")
 
         if args.modality == "depth":
-            out = pipe(rgb_int, color_map=None, **common)
             pred_name = get_pred_name(base, dataset.name_mode, suffix=".npy")
             save_to = os.path.join(
                 out_npy, (scene + "_" if scene else "") + pred_name
             )
+            if os.path.exists(save_to) and not args.overwrite:
+                continue
+            out = pipe(rgb_int, color_map=None, **common)
             np.save(save_to, out.depth_np)
         elif args.modality == "normals":
             out = pipe(rgb_int, **common)

@@ -100,6 +100,29 @@ def main(argv=None):
 
         with open(os.path.join(out_dir_run, "config.yaml"), "w") as f:
             yaml.safe_dump(cfg.to_dict(), f)
+        # code snapshot for reproducibility (reference train.py:217-231)
+        try:
+            import tarfile
+
+            pkg_dir = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            )
+            snap = os.path.join(out_dir_run, "code_snapshot.tar")
+            with tarfile.open(snap, "w") as tar:
+                for dirpath, dirnames, filenames in os.walk(pkg_dir):
+                    dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+                    for fn in filenames:
+                        if fn.endswith((".py", ".cc")):
+                            full = os.path.join(dirpath, fn)
+                            tar.add(
+                                full,
+                                arcname=os.path.relpath(
+                                    full, os.path.dirname(pkg_dir)
+                                ),
+                            )
+            logging.info(f"code snapshot: {snap}")
+        except Exception:
+            logging.exception("code snapshot failed (continuing)")
 
     # Slurm local-scratch data copy (reference train.py:233-252)
     if is_on_slurm() and not args.do_not_copy_data and base_data_dir:
