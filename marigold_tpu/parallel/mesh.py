@@ -26,11 +26,69 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def get_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D mesh over (the first n) local devices."""
+    """1-D mesh over (the first n) local devices.
+
+    Raises if fewer than ``n_devices`` are available: silently truncating
+    produced an under-sized mesh on 1-device platforms, which then failed
+    far from the cause (wrong shardings, divisibility asserts downstream).
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"get_mesh({n_devices}) but only {len(devs)} JAX device(s) "
+                f"are available on platform {devs[0].platform!r}. For CPU "
+                "testing, force the platform and device count before first "
+                "backend use (see marigold_tpu.parallel.mesh.force_cpu_devices)."
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
+
+
+def force_cpu_devices(n_devices: int) -> None:
+    """Force JAX onto the CPU platform with ``n_devices`` virtual devices.
+
+    Works even when another platform plugin (e.g. a TPU tunnel) registered
+    itself via sitecustomize: env vars like JAX_PLATFORMS are ignored once
+    that happens, so we update jax.config directly and, if a backend was
+    already initialized with the wrong platform or device count, discard it
+    so the next backend touch re-initializes with the new settings.
+    """
+    import os
+
+    flag = f"--xla_force_host_platform_device_count={n_devices}"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if flag not in xla_flags:
+        os.environ["XLA_FLAGS"] = f"{xla_flags} {flag}".strip()
+
+    def _apply_config():
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            # raises if a backend is already initialized; re-applied below
+            # after clear_backends in that case
+            jax.config.update("jax_num_cpu_devices", n_devices)
+        except Exception:
+            pass
+
+    _apply_config()
+    devs = jax.devices()
+    if devs[0].platform != "cpu" or len(devs) < n_devices:
+        # a backend already came up wrong — drop it and re-initialize
+        try:
+            import jax.extend.backend as _eb
+
+            _eb.clear_backends()
+        except Exception:
+            from jax._src import xla_bridge as _xb
+
+            _xb._clear_backends()  # type: ignore[attr-defined]
+        _apply_config()
+        devs = jax.devices()
+    if devs[0].platform != "cpu" or len(devs) < n_devices:
+        raise RuntimeError(
+            f"could not force {n_devices} CPU devices: got {len(devs)} "
+            f"device(s) on platform {devs[0].platform!r}"
+        )
 
 
 def data_parallel_sharding(mesh: Mesh, ndim: int, axis_name: str = "data"):

@@ -23,6 +23,7 @@ import functools
 import json
 import logging
 import os
+from collections import OrderedDict
 from typing import Any, Optional
 
 import jax
@@ -77,7 +78,22 @@ class DiffusionCore:
             self.unet_params = replicate(mesh, self.unet_params)
             self.vae_params = replicate(mesh, self.vae_params)
         self._empty_text_embed = None
-        self._jit_cache: dict = {}
+        # bounded LRU of compiled programs keyed by (shape/config); params
+        # are traced ARGUMENTS of every program, so param updates (e.g.
+        # during training validation) never invalidate entries.
+        self._jit_cache: "OrderedDict" = OrderedDict()
+        self._jit_cache_max = 32
+
+    def _cached_program(self, key, build):
+        cache = self._jit_cache
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        fn = build()
+        cache[key] = fn
+        while len(cache) > self._jit_cache_max:
+            cache.popitem(last=False)
+        return fn
 
     # -------------------------------------------------------------- #
 
@@ -157,11 +173,11 @@ class DiffusionCore:
     def get_infer_fn(self, h_lat: int, w_lat: int, num_steps: int,
                      ensemble_chunk: int, mode: str, n_targets: int = 1):
         key = (h_lat, w_lat, num_steps, ensemble_chunk, mode, n_targets)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_infer_fn(
-                num_steps, ensemble_chunk, mode, n_targets
-            )
-        return self._jit_cache[key]
+        return self._cached_program(
+            key,
+            lambda: self._build_infer_fn(num_steps, ensemble_chunk, mode,
+                                         n_targets),
+        )
 
     # -------------------------------------------------------------- #
     # fully-fused serving program: ONE dispatch per image
@@ -344,12 +360,12 @@ class DiffusionCore:
                      n_targets, out_hw, crop_hw, ensemble_opts=()):
         key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
                n_targets, out_hw, crop_hw, ensemble_opts)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_fused_fn(
-                num_steps, ensemble_size, chunk, mode, n_targets, out_hw,
-                crop_hw, ensemble_opts,
-            )
-        return self._jit_cache[key]
+        return self._cached_program(
+            key,
+            lambda: self._build_fused_fn(num_steps, ensemble_size, chunk,
+                                         mode, n_targets, out_hw, crop_hw,
+                                         ensemble_opts),
+        )
 
     # -------------------------------------------------------------- #
     # batched multi-image serving: N images x E members in one program
@@ -480,12 +496,12 @@ class DiffusionCore:
                      n_targets, out_hw, crop_hw, ensemble_opts, n_images):
         key = ("batch", hp, wp, num_steps, ensemble_size, chunk, mode,
                n_targets, out_hw, crop_hw, ensemble_opts, n_images)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_batch_fn(
-                num_steps, ensemble_size, chunk, mode, n_targets, out_hw,
-                crop_hw, ensemble_opts, n_images,
-            )
-        return self._jit_cache[key]
+        return self._cached_program(
+            key,
+            lambda: self._build_batch_fn(num_steps, ensemble_size, chunk,
+                                         mode, n_targets, out_hw, crop_hw,
+                                         ensemble_opts, n_images),
+        )
 
 
 # ------------------------------------------------------------------ #

@@ -230,7 +230,10 @@ class MarigoldTrainerBase:
         self.core.unet_params = jax.tree_util.tree_map(
             lambda x: x.astype(self.core.dtype), self.state.params
         )
-        self.core._jit_cache.clear()
+        # NOTE: no _jit_cache.clear() — unet_params is a *traced argument*
+        # of every cached program (pipelines/base.py), so new params flow
+        # through without retracing; clearing forced a full (minutes-long)
+        # recompile of all inference programs at every validation period.
 
     def _train_step_callback(self):
         """Reference _train_step_callback (marigold_depth_trainer.py:423-451)."""
