@@ -85,6 +85,12 @@ def build_parser():
                    help="Only evaluate existing predictions.")
     p.add_argument("--old_protocol", action="store_true",
                    help="CVPR v1-0 depth protocol (50 steps).")
+    p.add_argument("--limit", type=int, default=0,
+                   help="Only process the first N samples per dataset "
+                        "(0 = all). For protocol smoke tests.")
+    p.add_argument("--processing_res", type=int, default=None,
+                   help="Override the protocol's pinned processing "
+                        "resolution (smoke tests on small models).")
     return p
 
 
@@ -106,7 +112,7 @@ def main(argv=None):
     defaults = dict(DEFAULTS[args.modality])
     if args.old_protocol and args.modality == "depth":
         defaults["denoise_steps"] = 50
-    for k in ("ensemble_size", "denoise_steps", "seed"):
+    for k in ("ensemble_size", "denoise_steps", "seed", "processing_res"):
         if getattr(args, k) is not None:
             defaults[k] = getattr(args, k)
 
@@ -114,11 +120,14 @@ def main(argv=None):
     for name in names:
         cfg_path, overrides = table[name]
         proto = dict(defaults, **overrides)
+        if args.processing_res is not None:  # CLI beats the protocol pin
+            proto["processing_res"] = args.processing_res
         out_base = os.path.join(args.output_dir, args.modality, name)
         pred_dir = os.path.join(out_base, "prediction")
         metric_dir = os.path.join(out_base, "eval_metric")
         logging.info(f"=== {args.modality}/{name}: {proto} ===")
 
+        limit = ["--limit", str(args.limit)] if args.limit > 0 else []
         if not args.skip_infer:
             rc = infer_main([
                 "--modality", args.modality,
@@ -130,7 +139,7 @@ def main(argv=None):
                 "--ensemble_size", str(proto["ensemble_size"]),
                 "--processing_res", str(proto["processing_res"]),
                 "--seed", str(proto["seed"]),
-            ])
+            ] + limit)
             if rc != 0:
                 return rc
         rc = eval_main([
@@ -141,7 +150,7 @@ def main(argv=None):
                 pred_dir, f"{args.modality}_npy"
             ),
             "--output_dir", metric_dir,
-        ])
+        ] + limit)
         if rc != 0:
             return rc
         results[name] = metric_dir

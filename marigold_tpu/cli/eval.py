@@ -39,6 +39,8 @@ def build_parser():
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help="(iid) local VGG16+LPIPS weight file; also "
                              "$LPIPS_WEIGHTS. Skipped when unavailable.")
+    parser.add_argument("--limit", type=int, default=0,
+                        help="Only evaluate the first N samples (0 = all).")
     return parser
 
 
@@ -203,6 +205,8 @@ def main(argv=None):
     dataset = get_dataset(
         cfg_data, base_data_dir=args.base_data_dir, mode=DatasetMode.EVAL
     )
+    if args.limit > 0:
+        dataset.filenames = dataset.filenames[: args.limit]
 
     if args.modality == "depth":
         metric_names = list(

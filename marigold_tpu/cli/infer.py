@@ -36,6 +36,10 @@ def build_parser():
     parser.add_argument("--serving_batch", type=int, default=1,
                         help="(depth) process N same-shape images per fused "
                              "program for throughput (batched serving).")
+    parser.add_argument("--limit", type=int, default=0,
+                        help="Only process the first N samples (0 = all). "
+                             "For smoke-testing the real protocol configs "
+                             "on partial data trees.")
     parser.add_argument("--overwrite", action="store_true",
                         help="Recompute predictions that already exist "
                              "(default: skip existing files — the "
@@ -71,6 +75,8 @@ def main(argv=None):
     dataset = get_dataset(
         cfg_data, base_data_dir=args.base_data_dir, mode=DatasetMode.RGB_ONLY
     )
+    if args.limit > 0:
+        dataset.filenames = dataset.filenames[: args.limit]
 
     cls = {
         "depth": MarigoldDepthPipeline,

@@ -1,8 +1,8 @@
 """Per-op microbenchmark of the UNet/VAE hot path on the real TPU.
 
-Times isolated pieces (conv at each pyramid level, resnet block, GroupNorm,
-transformer block, full UNet forward, VAE decode) and reports achieved
-TFLOP/s vs the v5e bf16 peak (~197 TF/s) to localize the MFU floor.
+Chains iterations through a data dependency (x_{i+1} = f(x_i)) so async
+dispatch over the device tunnel cannot overlap or elide work, and uses the
+compiled program's own cost_analysis() FLOP count for MFU.
 
 Usage:  python scripts/profile_unet.py [--bs 20]
 """
@@ -21,20 +21,26 @@ import numpy as np
 PEAK_TFLOPS = 197.0  # v5e bf16
 
 
-def timed(fn, *args, iters=10, warmup=2):
+def bench_chained(fn, x0, *extra, iters=20, warmup=3):
+    """fn(x, *extra) -> array with same shape as x. Returns s/iter."""
+    lowered = jax.jit(fn).lower(x0, *extra)
+    compiled = lowered.compile()
+    flops = compiled.cost_analysis().get("flops", 0.0)
+    x = x0
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = compiled(x, *extra)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        x = compiled(x, *extra)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, flops
 
 
 def report(name, secs, flops):
     tf = flops / secs / 1e12
-    print(f"{name:42s} {secs*1e3:9.2f} ms  {tf:7.1f} TF/s  ({100*tf/PEAK_TFLOPS:5.1f}% MFU)")
+    print(f"{name:44s} {secs*1e3:9.2f} ms  {tf:7.1f} TF/s  ({100*tf/PEAK_TFLOPS:5.1f}% MFU)  [{flops/1e9:.1f} GF]")
 
 
 def main():
@@ -50,68 +56,82 @@ def main():
     from marigold_tpu.models import layers as L
     from marigold_tpu.models import unet as unet_lib
     from marigold_tpu.models import vae as vae_lib
+    from marigold_tpu.models.unet import _resnet, _init_resnet, _transformer, _init_cross_attn_xf
 
     key = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16
 
-    print(f"== conv2d 3x3 at UNet pyramid levels (bs={B}) ==")
+    print(f"== conv2d 3x3, chained (bs={B}) ==")
     for (h, w, c) in [(96, 96, 320), (48, 48, 640), (24, 24, 1280), (12, 12, 1280)]:
         x = jax.random.normal(key, (B, h, w, c), dtype)
         p = L.init_conv(key, c, c, 3, dtype)
-        f = jax.jit(lambda p, x: L.conv2d(p, x))
-        secs = timed(f, p, x)
-        flops = 2 * B * h * w * 9 * c * c
+        secs, flops = bench_chained(lambda x, p: L.conv2d(p, x), x, p)
         report(f"conv3x3 {h}x{w}x{c}", secs, flops)
 
-    print(f"== GroupNorm+SiLU (bs={B}) ==")
+    print(f"== GroupNorm+SiLU chained (bs={B}) ==")
     for (h, w, c) in [(96, 96, 320), (48, 48, 640)]:
         x = jax.random.normal(key, (B, h, w, c), dtype)
         p = L.init_norm(c, dtype)
-        f = jax.jit(lambda p, x: L.group_norm(p, x, 32, act="silu"))
-        secs = timed(f, p, x)
-        gb = (2 * B * h * w * c * 2) / 1e9  # ~2 passes read + 1 write, bf16
-        print(f"{'gn_silu %dx%dx%d' % (h, w, c):42s} {secs*1e3:9.2f} ms  ~{gb/secs:6.0f} GB/s eff bw")
+        secs, flops = bench_chained(lambda x, p: L.group_norm(p, x, 32, act="silu"), x, p)
+        gbytes = 2 * (B * h * w * c * 2) / 1e9
+        print(f"{'gn_silu %dx%dx%d' % (h, w, c):44s} {secs*1e3:9.2f} ms  ~{gbytes/secs:6.0f} GB/s eff bw")
 
-    print(f"== resnet block 96x96x320 (bs={B}) ==")
+    print(f"== resnet block chained (bs={B}) ==")
     temb = jax.random.normal(key, (B, 1280), dtype)
-    from marigold_tpu.models.unet import _resnet, _init_resnet, _transformer, _init_cross_attn_xf
-    rp = _init_resnet(key, 320, 320, 1280, dtype)
-    x = jax.random.normal(key, (B, 96, 96, 320), dtype)
-    f = jax.jit(lambda p, x, t: _resnet(p, x, t, 32))
-    secs = timed(f, rp, x, temb)
-    flops = 2 * B * 96 * 96 * 9 * 320 * 320 * 2  # two 3x3 convs
-    report("resnet(320->320)@96", secs, flops)
+    for (h, w, c) in [(96, 96, 320), (48, 48, 640)]:
+        rp = _init_resnet(key, c, c, 1280, dtype)
+        x = jax.random.normal(key, (B, h, w, c), dtype)
+        secs, flops = bench_chained(lambda x, p, t: _resnet(p, x, t, 32), x, rp, temb)
+        report(f"resnet({c})@{h}", secs, flops)
 
-    print(f"== transformer block 96x96x320, ctx len 2 (bs={B}) ==")
-    tp = _init_cross_attn_xf(key, 320, 5, 1024, dtype)
-    ctx = jax.random.normal(key, (B, 2, 1024), dtype)
-    f = jax.jit(lambda p, x, c: _transformer(p, x, c, 5, 32))
-    secs = timed(f, tp, x, ctx)
-    n = 96 * 96
-    flops = 2 * B * n * (320 * 320 * 4           # self qkv+out
-                         + 320 * 320 * 2         # attn matmuls ~ n*d per tok x2
-                         ) + 2 * B * n * (320 * 8 * 320 + 320 * 4 * 320)  # GEGLU ff
-    flops += 2 * B * n * n * 320 * 2  # attention score+value matmuls
-    report("transformer@96 (5 heads)", secs, flops)
+    print(f"== transformer block chained, ctx len 2 (bs={B}) ==")
+    for (h, w, c, heads) in [(96, 96, 320, 5), (48, 48, 640, 10)]:
+        tp = _init_cross_attn_xf(key, c, heads, 1024, dtype)
+        ctx = jax.random.normal(key, (B, 2, 1024), dtype)
+        x = jax.random.normal(key, (B, h, w, c), dtype)
+        secs, flops = bench_chained(
+            lambda x, p, cx: _transformer(p, x, cx, heads, 32), x, tp, ctx
+        )
+        report(f"transformer@{h} ({heads} heads)", secs, flops)
 
-    print(f"== full UNet forward (bs={B}, 96x96 latents) ==")
+    print(f"== full UNet forward chained (bs={B}, 96x96) ==")
     cfg = unet_lib.UNetConfig()
     params = unet_lib.init_params(jax.random.PRNGKey(1), cfg, dtype=dtype)
-    xs = jax.random.normal(key, (B, 96, 96, 8), dtype)
     t = jnp.asarray(999)
     emb = jax.random.normal(key, (1, 2, 1024), dtype)
-    f = jax.jit(lambda p, x, t, e: unet_lib.apply(p, cfg, x, t, e))
-    secs = timed(f, params, xs, t, emb, iters=4)
-    # rough per-sample flops estimate at 96x96: ~1.5 TF
-    report("unet fwd (est 1.5 TF/sample)", secs, 1.5e12 * B)
+    x = jax.random.normal(key, (B, 96, 96, 8), dtype)
 
-    print(f"== VAE decode (bs={B}, 96x96x4 -> 768x768x3) ==")
+    def unet_chain(x, params, t, emb):
+        out = unet_lib.apply(params, cfg, x, t, emb)  # [B,96,96,4]
+        return jnp.concatenate([out, out], axis=-1)
+
+    secs, flops = bench_chained(unet_chain, x, params, t, emb, iters=6, warmup=2)
+    report("unet fwd", secs, flops)
+
+    print(f"== VAE decode chained (bs={B}) ==")
     vcfg = vae_lib.VAEConfig()
     vparams = vae_lib.init_params(jax.random.PRNGKey(2), vcfg, dtype=dtype)
     z = jax.random.normal(key, (B, 96, 96, 4), dtype)
-    f = jax.jit(lambda p, z: vae_lib.decode_scaled(p, vcfg, z))
-    secs = timed(f, vparams, z, iters=2)
-    report("vae decode (est 2.5 TF/sample)", secs, 2.5e12 * B)
+
+    def dec_chain(z, vparams):
+        img = vae_lib.decode_scaled(vparams, vcfg, z)  # [B,768,768,3]
+        # pool back to latent shape to close the chain
+        pooled = img[:, ::8, ::8, :]
+        return jnp.concatenate([pooled, pooled[..., :1]], axis=-1)
+
+    secs, flops = bench_chained(dec_chain, z, vparams, iters=4, warmup=2)
+    report("vae decode", secs, flops)
+
+    print(f"== VAE encode chained (bs=2) ==")
+    rgb = jax.random.normal(key, (2, 768, 768, 3), dtype)
+
+    def enc_chain(rgb, vparams):
+        lat = vae_lib.encode_mean_scaled(vparams, vcfg, rgb)
+        up = jnp.repeat(jnp.repeat(lat, 8, 1), 8, 2)
+        return jnp.concatenate([up, up[..., :1] * 0 - 1], axis=-1)[..., :3]
+
+    secs, flops = bench_chained(enc_chain, rgb, vparams, iters=4, warmup=2)
+    report("vae encode (bs=2)", secs, flops)
 
 
 if __name__ == "__main__":
