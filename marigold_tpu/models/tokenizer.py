@@ -74,11 +74,14 @@ class CLIPTokenizer:
                 parts = line.split()
                 if len(parts) == 2:
                     merges.append(tuple(parts))
+        # derive special-token ids from the vocab itself (standard CLIP
+        # checkpoints map them to 49406/49407, but any vocab works)
         kwargs = {}
-        cfg_path = os.path.join(tokenizer_dir, "special_tokens_map.json")
-        if os.path.exists(cfg_path):
-            pass  # standard CLIP ids assumed
-        return cls(vocab, merges)
+        if "<|startoftext|>" in vocab:
+            kwargs["bos_token_id"] = vocab["<|startoftext|>"]
+        if "<|endoftext|>" in vocab:
+            kwargs["eos_token_id"] = vocab["<|endoftext|>"]
+        return cls(vocab, merges, **kwargs)
 
     def _bpe(self, token: str) -> str:
         if token in self._cache:

@@ -56,6 +56,8 @@ class UNetConfig:
     attention_head_dim: Sequence[int] = (5, 10, 20, 20)  # = num heads (see module doc)
     cross_attention_dim: int = 1024
     norm_num_groups: int = 32
+    norm_eps: float = 1e-5  # diffusers UNet2DConditionModel default; the
+    # transformer blocks' spatial GroupNorm is hardcoded 1e-6 in diffusers
     use_linear_projection: bool = True
 
     @classmethod
@@ -84,6 +86,7 @@ class UNetConfig:
             attention_head_dim=tuple(ahd),
             cross_attention_dim=d.get("cross_attention_dim", 1024),
             norm_num_groups=d.get("norm_num_groups", 32),
+            norm_eps=d.get("norm_eps", 1e-5),
             use_linear_projection=d.get("use_linear_projection", True),
         )
 
@@ -100,6 +103,7 @@ class UNetConfig:
             "attention_head_dim": list(self.attention_head_dim),
             "cross_attention_dim": self.cross_attention_dim,
             "norm_num_groups": self.norm_num_groups,
+            "norm_eps": self.norm_eps,
             "use_linear_projection": self.use_linear_projection,
             "act_fn": "silu",
         }
@@ -262,12 +266,12 @@ def _up_skip_channels(b: list, up_idx: int, layers_per_block: int) -> list:
 # forward
 
 
-def _resnet(p, x, temb, groups):
-    h = L.group_norm(p["norm1"], x, groups, act="silu")
+def _resnet(p, x, temb, groups, eps=1e-5):
+    h = L.group_norm(p["norm1"], x, groups, eps=eps, act="silu")
     h = L.conv2d(p["conv1"], h)
     t = L.linear(p["time_emb_proj"], jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = L.group_norm(p["norm2"], h, groups, act="silu")
+    h = L.group_norm(p["norm2"], h, groups, eps=eps, act="silu")
     h = L.conv2d(p["conv2"], h)
     if "conv_shortcut" in p:
         x = L.conv2d(p["conv_shortcut"], x, padding=0)
@@ -342,7 +346,7 @@ def apply(
         blk = params["down_blocks"][str(i)]
         has_attn = bt == "CrossAttnDownBlock2D"
         for j in range(cfg.layers_per_block):
-            h = _resnet(blk["resnets"][str(j)], h, temb, g)
+            h = _resnet(blk["resnets"][str(j)], h, temb, g, cfg.norm_eps)
             if has_attn:
                 h = _transformer(
                     blk["attentions"][str(j)], h, ctx,
@@ -354,12 +358,12 @@ def apply(
             skips.append(h)
 
     mid = params["mid_block"]
-    h = _resnet(mid["resnets"]["0"], h, temb, g)
+    h = _resnet(mid["resnets"]["0"], h, temb, g, cfg.norm_eps)
     h = _transformer(
         mid["attentions"]["0"], h, ctx, cfg.attention_head_dim[-1], g,
         cfg.use_linear_projection,
     )
-    h = _resnet(mid["resnets"]["1"], h, temb, g)
+    h = _resnet(mid["resnets"]["1"], h, temb, g, cfg.norm_eps)
 
     rev_heads = list(reversed(cfg.attention_head_dim))
     for i, bt in enumerate(cfg.up_block_types):
@@ -368,7 +372,7 @@ def apply(
         for j in range(cfg.layers_per_block + 1):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = _resnet(blk["resnets"][str(j)], h, temb, g)
+            h = _resnet(blk["resnets"][str(j)], h, temb, g, cfg.norm_eps)
             if has_attn:
                 h = _transformer(
                     blk["attentions"][str(j)], h, ctx, rev_heads[i], g,
@@ -384,5 +388,5 @@ def apply(
                 h = h[:, :th, :tw, :]
             h = L.conv2d(blk["upsamplers"]["0"]["conv"], h)
 
-    h = L.group_norm(params["conv_norm_out"], h, g, act="silu")
+    h = L.group_norm(params["conv_norm_out"], h, g, eps=cfg.norm_eps, act="silu")
     return L.conv2d(params["conv_out"], h)

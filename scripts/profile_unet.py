@@ -26,14 +26,20 @@ def bench_chained(fn, x0, *extra, iters=20, warmup=3):
     lowered = jax.jit(fn).lower(x0, *extra)
     compiled = lowered.compile()
     flops = compiled.cost_analysis().get("flops", 0.0)
+    def sync(a):
+        # force full execution + readback of one element (block_until_ready
+        # over the device tunnel has been observed to return early for
+        # small programs)
+        return np.asarray(jax.device_get(a)).ravel()[0]
+
     x = x0
     for _ in range(warmup):
         x = compiled(x, *extra)
-    jax.block_until_ready(x)
+    sync(x)
     t0 = time.perf_counter()
     for _ in range(iters):
         x = compiled(x, *extra)
-    jax.block_until_ready(x)
+    sync(x)
     dt = (time.perf_counter() - t0) / iters
     return dt, flops
 
