@@ -79,6 +79,119 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ------------------------------------------------------------------ #
+# Transposed-layout kernel: head dim in SUBLANES, tokens in LANES.
+#
+# With SD2's head dim 64, the [N, D] layout needs D padded to the 128-lane
+# tile, doubling every MXU contraction's work (measured: both this module's
+# padded kernel and jax's official TPU flash kernel plateau at ~63 TF/s
+# *useful* on [100, 9216, 64] — i.e. ~64% MFU of which half is zeros).
+# Storing Q/K/V as [BH, D, N] puts D=64 in sublanes (legal: multiple of the
+# bf16 16-sublane tile) and the 128-aligned token axis in lanes, so the
+# kernel contracts over real data only:
+#   S^T = K_T^(d,bk)^T-contract-d Q_T^(d,bq)  -> [bk, bq]
+#   O_T += V_T^(d,bk) @ P^T^(bk,bq)           -> [d, bq]   (native MXU)
+# Softmax state lives as [1, bq] rows (reductions over sublanes).
+
+
+def _flash_kernel_dt(n_valid_ref, qt_ref, kt_ref, vt_ref, ot_ref, *,
+                     block_k: int, scale: float):
+    """Grid: (BH, N_pad // block_q). qt_ref: [D, block_q];
+    kt_ref/vt_ref: [D, N_pad]; ot_ref: [D, block_q]."""
+    n_valid = n_valid_ref[0]
+    d, n_pad = kt_ref.shape
+    block_q = qt_ref.shape[1]
+    num_kb = n_pad // block_k
+
+    qt = qt_ref[:]
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        kt_blk = kt_ref[:, pl.ds(kb * block_k, block_k)]
+        vt_blk = vt_ref[:, pl.ds(kb * block_k, block_k)]
+        # S^T[bk, bq]: contract the d sublanes of both operands
+        st = jax.lax.dot_general(
+            kt_blk, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 0
+        )
+        st = jnp.where(row < n_valid, st, NEG_INF)
+
+        m_cur = jnp.max(st, axis=0, keepdims=True)  # [1, bq]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(st - m_new)  # [bk, bq]
+        alpha = jnp.exp(m_prev - m_new)  # [1, bq]
+        l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+        # O^T[d, bq] += V^T[d, bk] @ P^T[bk, bq] — native MXU orientation
+        acc = acc * alpha + jax.lax.dot_general(
+            vt_blk, p.astype(qt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((d, block_q), jnp.float32)
+    m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, block_q), jnp.float32)
+    acc, m_fin, l_fin = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+
+    ot_ref[:] = (acc / jnp.maximum(l_fin, 1e-30)).astype(ot_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_dt(
+    qt: jax.Array,
+    kt: jax.Array,
+    vt: jax.Array,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-layout flash attention. qt/kt/vt: [BH, D, N] with D a
+    multiple of the sublane tile (16 for bf16; SD2 uses 64). Returns
+    O^T [BH, D, Nq]. Softmax scale = 1/sqrt(D)."""
+    bh, d, nq = qt.shape
+    nk = kt.shape[2]
+    scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _round_up(nq, 128))
+    block_k = min(block_k, _round_up(nk, 128))
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+
+    qp = jnp.pad(qt, ((0, 0), (0, 0), (0, nq_pad - nq)))
+    kp = jnp.pad(kt, ((0, 0), (0, 0), (0, nk_pad - nk)))
+    vp = jnp.pad(vt, ((0, 0), (0, 0), (0, nk_pad - nk)))
+    n_valid = jnp.asarray([nk], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i, n: (b, 0, i)),
+            pl.BlockSpec((1, d, nk_pad), lambda b, i, n: (b, 0, 0)),
+            pl.BlockSpec((1, d, nk_pad), lambda b, i, n: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda b, i, n: (b, 0, i)),
+    )
+
+    def kernel(n_ref, q_ref, k_ref, v_ref, o_ref):
+        _flash_kernel_dt(
+            n_ref, q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
+            block_k=block_k, scale=scale,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, d, nq_pad), qt.dtype),
+        interpret=interpret,
+    )(n_valid, qp, kp, vp)
+
+    return out[:, :, :nq]
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(
     q: jax.Array,

@@ -22,6 +22,9 @@ import numpy as np
 RESAMPLE_METHODS = {
     "bilinear": "linear",
     "bicubic": "cubic",
+    # jax.image.resize 'nearest' samples at half-pixel centers, which IS
+    # torchvision's NEAREST_EXACT — the variant the reference uses on every
+    # GT/depth resize (tested vs torch in tests/test_resize_parity.py).
     "nearest": "nearest",
     "nearest-exact": "nearest",
 }

@@ -88,6 +88,44 @@ class TrainingLogger:
 tb_logger = TrainingLogger()
 
 
+# -------------- wandb tools (reference logging_util.py:95-120) -------- #
+# wandb is optional: absent from this image, every call degrades to a noop
+# so training runs identically with TensorBoard-only tracking.
+
+
+def init_wandb(enable: bool, **kwargs):
+    """Reference init_wandb: wandb.init(sync_tensorboard=True, **kwargs)
+    when enabled, disabled-mode run otherwise. Returns None when the
+    package is unavailable."""
+    try:
+        import wandb  # type: ignore
+    except ImportError:
+        if enable:
+            logging.warning("wandb requested but not installed; tracking "
+                            "continues via TensorBoard only")
+        return None
+    if enable:
+        return wandb.init(sync_tensorboard=True, **kwargs)
+    return wandb.init(mode="disabled")
+
+
+def save_wandb_job_id(run, out_dir: str) -> None:
+    """Persist the run id so --resume_run reattaches to the same wandb run
+    (reference save_wandb_job_id)."""
+    if run is None:
+        return
+    with open(os.path.join(out_dir, "WANDB_ID"), "w+") as f:
+        f.write(run.id)
+
+
+def load_wandb_job_id(out_dir: str) -> Optional[str]:
+    path = os.path.join(out_dir, "WANDB_ID")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read()
+
+
 def eval_dict_to_text(val_metrics: dict, dataset_name: str, sample_list_path: str) -> str:
     from tabulate import tabulate
 

@@ -1,9 +1,17 @@
 """Head-to-head attention implementations on the real TPU at the SD2 UNet
-level-0 shape (bs20: [B=20, H=5, N=9216, d=64], bf16)."""
+level-0 shape (bs20: [B=20, H=5, N=9216, d=64], bf16).
 
+Wall-clock through the device tunnel is dominated by readback (~50 MB/s),
+so timings come from the device trace (jax.profiler), keyed by op name.
+"""
+
+import collections
+import glob
+import gzip
+import json
 import os
+import re
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -11,24 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS = 4
-
-
-def timeit(name, fn, *args, iters=3, useful_flops=None):
-    f = jax.jit(fn)
-    try:
-        out = f(*args)
-        _ = np.asarray(jax.device_get(out)).ravel()[0]
-    except Exception as e:
-        print(f"{name:36s} FAILED: {type(e).__name__}: {str(e)[:140]}")
-        return
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-        _ = np.asarray(jax.device_get(out)).ravel()[0]
-    dt = (time.perf_counter() - t0) / iters / REPS
-    tfs = (useful_flops / dt / 1e12) if useful_flops else 0
-    print(f"{name:36s} {dt*1e3:8.2f} ms/call   {tfs:6.1f} TF/s useful")
+B, H, N, D = 20, 5, 9216, 64
+USEFUL = 4 * B * H * N * N * D
 
 
 def main():
@@ -36,63 +28,71 @@ def main():
                       os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from marigold_tpu.ops.flash_attention import flash_attention as ours
+    from marigold_tpu.ops.flash_attention import (
+        flash_attention as ours,
+        flash_attention_dt,
+    )
 
-    B, H, N, D = 20, 5, 9216, 64
     key = jax.random.PRNGKey(0)
     q4 = jax.random.normal(key, (B, H, N, D), jnp.bfloat16)
-    useful = 4 * B * H * N * N * D
 
-    def chain4(fn):
-        def run(q):
-            def body(i, acc):
-                o = fn(acc)
-                return (o * 0.997).astype(acc.dtype)
-            return jax.lax.fori_loop(0, REPS, body, q)
-        return run
+    impls = {}
 
-    # ---- ours ([BH, N, D] layout) ----
     def ours_call(x):
         bh = B * H
         xf = x.reshape(bh, N, D)
         return ours(xf, xf, xf).reshape(B, H, N, D)
 
-    timeit("ours pad-128 (bq256,bk512)", chain4(ours_call), q4, useful_flops=useful)
+    impls["ours_pad128"] = jax.jit(ours_call)
 
-    # ---- official jax pallas TPU flash ----
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        flash_attention as official, BlockSizes,
-    )
-
-    for (bq, bkM, bk) in [(256, 512, 512), (512, 1024, 512), (1024, 1536, 512)]:
-        bs = BlockSizes(block_q=bq, block_k_major=bkM, block_k=bk, block_b=1)
-
-        def official_call(x, bs=bs):
-            return official(x, x, x, sm_scale=1.0 / np.sqrt(D), block_sizes=bs)
-
-        timeit(f"official flash (bq{bq},bkM{bkM},bk{bk})",
-               chain4(official_call), q4, useful_flops=useful)
-
-    # ---- chunked XLA attention ----
-    for chunk in (1024, 2304):
-        def xla_chunked(x, chunk=chunk):
+    for (bq, bk) in [(512, 512), (256, 512), (512, 1024), (1024, 512)]:
+        def dt_call(x, bq=bq, bk=bk):
             bh = B * H
-            xf = x.reshape(bh, N, D)
-            scale = 1.0 / np.sqrt(D)
-            qc = xf.reshape(bh, N // chunk, chunk, D).transpose(1, 0, 2, 3)
+            # [B,H,N,D] -> [BH, D, N] (the production wrapper transposes
+            # straight from the [B,N,C] projection output)
+            xt = x.reshape(bh, N, D).transpose(0, 2, 1)
+            ot = flash_attention_dt(xt, xt, xt, block_q=bq, block_k=bk)
+            return ot.transpose(0, 2, 1).reshape(B, H, N, D)
 
-            def one(qb):
-                s = jnp.einsum("bqd,bkd->bqk", qb, xf,
-                               preferred_element_type=jnp.float32) * scale
-                p = jax.nn.softmax(s, axis=-1).astype(xf.dtype)
-                return jnp.einsum("bqk,bkd->bqd", p, xf,
-                                  preferred_element_type=jnp.float32)
+        impls[f"ours_dt_q{bq}k{bk}"] = jax.jit(dt_call)
 
-            o = jax.lax.map(one, qc)  # [nc, bh, chunk, D]
-            return (o.transpose(1, 0, 2, 3).reshape(B, H, N, D)).astype(x.dtype)
+    # warm up (compile) everything
+    outs = {}
+    for name, f in impls.items():
+        try:
+            outs[name] = f(q4)
+            outs[name].block_until_ready()
+            print(f"compiled {name}")
+        except Exception as e:
+            print(f"{name} FAILED compile: {type(e).__name__}: {str(e)[:160]}")
+            impls[name] = None
 
-        timeit(f"xla chunked (chunk={chunk})", chain4(xla_chunked), q4,
-               useful_flops=useful)
+    trace_dir = "/tmp/attntrace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for name, f in impls.items():
+            if f is None:
+                continue
+            for _ in range(3):
+                o = f(q4)
+        o.block_until_ready()
+        _ = np.asarray(jax.device_get(o[0, 0, 0, :2]))
+
+    # parse newest trace
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = [e for e in data["traceEvents"]
+              if e.get("ph") == "X" and e.get("pid") == 3]
+    agg, cnt = collections.Counter(), collections.Counter()
+    for e in events:
+        name = re.sub(r"[.\d]+$", "", e["name"])
+        agg[name] += e.get("dur", 0)
+        cnt[name] += 1
+    print("\ndevice op totals over the whole trace (3 calls each):")
+    for nm, dur in agg.most_common(15):
+        print(f"  {dur/1e3:9.2f} ms x{cnt[nm]:3d}  {nm}")
+    print(f"\nuseful attention FLOPs per call: {USEFUL/1e12:.2f} TF")
 
 
 if __name__ == "__main__":
