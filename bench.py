@@ -139,7 +139,10 @@ def main():
     print(json.dumps(result))
     print(
         f"# latency {dt*1000:.0f} ms/map (batched x2 serving) | init {init_s:.1f}s | "
-        f"E={ENSEMBLE} steps={STEPS} res={RES} dtype=bf16",
+        f"E={ENSEMBLE} steps={STEPS} res={RES} dtype=bf16 | "
+        f"baseline 0.12 maps/s = A100 as-shipped estimate "
+        f"(optimized-torch band 0.22-0.36 -> {maps_per_sec/0.36:.2f}-"
+        f"{maps_per_sec/0.22:.2f}x; see BASELINE.md derivations)",
         file=sys.stderr,
     )
 

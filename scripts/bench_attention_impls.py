@@ -45,8 +45,8 @@ def main():
 
     impls["ours_pad128"] = jax.jit(ours_call)
 
-    for (bq, bk) in [(512, 512), (256, 512), (512, 1024), (1024, 512)]:
-        def dt_call(x, bq=bq, bk=bk):
+    def make_dt(bq, bk):
+        def dt_call(x):
             bh = B * H
             # [B,H,N,D] -> [BH, D, N] (the production wrapper transposes
             # straight from the [B,N,C] projection output)
@@ -54,7 +54,13 @@ def main():
             ot = flash_attention_dt(xt, xt, xt, block_q=bq, block_k=bk)
             return ot.transpose(0, 2, 1).reshape(B, H, N, D)
 
-        impls[f"ours_dt_q{bq}k{bk}"] = jax.jit(dt_call)
+        dt_call.__name__ = f"dt_q{bq}_k{bk}"
+        dt_call.__qualname__ = dt_call.__name__
+        return jax.jit(dt_call)
+
+    for (bq, bk) in [(512, 512), (1024, 512), (1024, 1024), (2048, 512),
+                     (512, 2304), (2304, 512)]:
+        impls[f"ours_dt_q{bq}k{bk}"] = make_dt(bq, bk)
 
     # warm up (compile) everything
     outs = {}
