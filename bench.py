@@ -96,25 +96,27 @@ def main():
     )
 
     # Throughput serving: 2 images' ensembles share one fused program
-    # (20-sample denoise batch saturates the MXU better than 10).
+    # (20-sample denoise batch saturates the MXU better than 10). Inputs
+    # upload as uint8 and normalize on device — 4x less host->device
+    # traffic, which was the steady-state pipeline bubble.
     NI = 2
     imgs = [img, rng.integers(0, 255, (RES, RES, 3), dtype=np.uint8)]
-    bkwargs = {k: v for k, v in kwargs.items()
-               if k not in ("color_map", "show_progress_bar")}
-    bkwargs["batch_size"] = NI * ENSEMBLE
 
-    # warmup & compile
-    outs = pipe.batch_call(imgs, **bkwargs)
-    assert outs[0].depth_np.shape == (RES, RES)
-    assert all(np.isfinite(o.depth_np).all() for o in outs)
-
-    # steady-state throughput: pipeline several in-flight batches (async
-    # dispatch); sync + read back everything at the end
-    from marigold_tpu.pipelines.base import image_to_array, pad_to_multiple_of
     import jax as _jax
     import numpy as _np
 
-    rgb_stack = _np.stack([image_to_array(im) for im in imgs])
+    rgb_stack = _np.stack(imgs)  # uint8 [NI, RES, RES, 3]
+
+    # warmup & compile (same uint8 program the timed loop runs)
+    pred, unc = pipe._infer_fused_batch(
+        rgb_stack, denoising_steps=STEPS, ensemble_size=ENSEMBLE,
+        batch_size=NI * ENSEMBLE, seed=1234, out_hw=(RES, RES), sync=True,
+    )
+    assert pred.shape[1:3] == (RES, RES)
+    assert np.isfinite(pred).all()
+
+    # steady-state throughput: pipeline several in-flight batches (async
+    # dispatch); sync + read back everything at the end
     n_iter = 4
     t0 = time.time()
     in_flight = []

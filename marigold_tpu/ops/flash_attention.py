@@ -144,7 +144,10 @@ def flash_attention_dt(
     qt: jax.Array,
     kt: jax.Array,
     vt: jax.Array,
-    block_q: int = 512,
+    # v5e sweep at [100, 64, 9216]: q2304/k512 won (26.3 ms incl. fold
+    # transposes vs 38.2 for the padded layout); block_q is clamped to the
+    # padded sequence for shorter rows.
+    block_q: int = 2304,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:

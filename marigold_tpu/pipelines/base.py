@@ -264,6 +264,8 @@ class DiffusionCore:
             return jnp.concatenate(outs, axis=-1)
 
         def fused(unet_params, vae_params, rgb, key, text):
+            if rgb.dtype == jnp.uint8:
+                rgb = rgb.astype(jnp.float32) / 127.5 - 1.0
             rgb_lat = vae_lib.encode_mean_scaled(
                 vae_params, vae_cfg, rgb.astype(self.dtype)
             )
@@ -449,6 +451,11 @@ class DiffusionCore:
             return pred[0], unc[0]
 
         def fused(unet_params, vae_params, rgb, key, text):
+            if rgb.dtype == jnp.uint8:
+                # device-side normalization: uint8 upload is 4x less
+                # host->device traffic than float32 (the transfer was the
+                # serving pipeline bubble on tunneled links)
+                rgb = rgb.astype(jnp.float32) / 127.5 - 1.0
             rgb_lat = vae_lib.encode_mean_scaled(
                 vae_params, vae_cfg, rgb.astype(self.dtype)
             )  # [NI,h,w,4]
@@ -667,7 +674,8 @@ class BasePipeline:
 
     def _infer_fused_batch(
         self,
-        rgb_norm_batch: np.ndarray,  # [NI,H,W,3] in [-1,1], same proc shape
+        rgb_norm_batch: np.ndarray,  # [NI,H,W,3]: float in [-1,1] or uint8
+        # (uint8 normalizes on device — 4x cheaper host->device upload)
         denoising_steps: int,
         ensemble_size: int,
         batch_size: int = 0,

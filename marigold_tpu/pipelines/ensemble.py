@@ -95,8 +95,15 @@ def ensemble_depth(
     max_iter: int = 50,
     tol: float = 1e-6,
     max_res: int = 1024,
+    valid_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Align+reduce an ensemble of depth maps. `depth`: [E, H, W, 1] in [0,1].
+
+    `valid_mask` ([1,H,W,1] bool, optional) excludes pixels — e.g. the
+    padding introduced by shape bucketing — from every alignment statistic
+    (init ranges, Gram moments, regularizer, final renormalization); masked
+    pixels still receive (meaningless) reduced values, to be cropped by the
+    caller.
 
     Returns ([1,H,W,1] in [0,1], uncertainty [1,H,W,1] or None).
     """
@@ -119,12 +126,29 @@ def ensemble_depth(
             return d * param.reshape(E, 1, 1, 1)
         return d
 
+    mask = None
+    if valid_mask is not None:
+        mask = jnp.broadcast_to(
+            valid_mask.astype(bool), (1,) + depth.shape[1:]
+        )
+
     if requires_aligning and E > 1:
         small = _downsample_nearest_max_res(depth, max_res)
+        m_small = (
+            _downsample_nearest_max_res(mask.astype(jnp.float32), max_res)
+            if mask is not None else None
+        )
 
         flat = small.reshape(E, -1)
-        init_min = jnp.min(flat, axis=1)
-        init_max = jnp.max(flat, axis=1)
+        if m_small is not None:
+            m_flat = m_small.reshape(1, -1)  # float {0,1}, same for all E
+            n_valid = jnp.clip(jnp.sum(m_flat), 1.0, None)
+            big = jnp.asarray(jnp.inf, flat.dtype)
+            init_min = jnp.min(jnp.where(m_flat > 0, flat, big), axis=1)
+            init_max = jnp.max(jnp.where(m_flat > 0, flat, -big), axis=1)
+        else:
+            init_min = jnp.min(flat, axis=1)
+            init_max = jnp.max(flat, axis=1)
         affine = scale_invariant and shift_invariant
         if affine:
             init_s = 1.0 / jnp.clip(init_max - init_min, 1e-6, None)
@@ -171,10 +195,19 @@ def ensemble_depth(
         # nearest-downsampled copy — it only nudges the solution at 0.02
         # strength.
         flat_stats = small.reshape(E, -1)
-        n_px = flat_stats.shape[1]
-        gram = flat_stats @ flat_stats.T / n_px  # [E,E]
-        mean_d = jnp.mean(flat_stats, axis=1)  # [E]
+        if m_small is not None:
+            fm = flat_stats * m_flat
+            gram = fm @ fm.T / n_valid  # [E,E] over valid pixels only
+            mean_d = jnp.sum(fm, axis=1) / n_valid  # [E]
+        else:
+            n_px = flat_stats.shape[1]
+            gram = flat_stats @ flat_stats.T / n_px  # [E,E]
+            mean_d = jnp.mean(flat_stats, axis=1)  # [E]
         reg_small = _downsample_nearest_max_res(small, 256)
+        reg_mask = (
+            _downsample_nearest_max_res(m_small, 256) > 0
+            if m_small is not None else None
+        )
 
         def cost_fn(param):
             if affine:
@@ -194,8 +227,14 @@ def ensemble_depth(
             if regularizer_strength > 0:
                 aligned = apply_align(reg_small, param)
                 pred, _ = _reduce(aligned, reduction, False)
-                err_near = jnp.abs(0.0 - jnp.min(pred))
-                err_far = jnp.abs(1.0 - jnp.max(pred))
+                if reg_mask is not None:
+                    big = jnp.asarray(jnp.inf, pred.dtype)
+                    p_min = jnp.min(jnp.where(reg_mask, pred, big))
+                    p_max = jnp.max(jnp.where(reg_mask, pred, -big))
+                else:
+                    p_min, p_max = jnp.min(pred), jnp.max(pred)
+                err_near = jnp.abs(0.0 - p_min)
+                err_far = jnp.abs(1.0 - p_max)
                 cost = cost + (err_near + err_far) * regularizer_strength
             return cost
 
@@ -211,8 +250,16 @@ def ensemble_depth(
 
     pred, uncertainty = _reduce(depth, reduction, output_uncertainty)
 
-    d_max = jnp.max(pred)
-    d_min = jnp.min(pred) if (scale_invariant and shift_invariant) else 0.0
+    if mask is not None:
+        big = jnp.asarray(jnp.inf, pred.dtype)
+        d_max = jnp.max(jnp.where(mask, pred, -big))
+        d_min = (
+            jnp.min(jnp.where(mask, pred, big))
+            if (scale_invariant and shift_invariant) else 0.0
+        )
+    else:
+        d_max = jnp.max(pred)
+        d_min = jnp.min(pred) if (scale_invariant and shift_invariant) else 0.0
     d_range = jnp.clip(d_max - d_min, 1e-6, None)
     pred = (pred - d_min) / d_range
     if output_uncertainty:

@@ -68,6 +68,34 @@ def resize_np(img: np.ndarray, out_hw: tuple[int, int], method: str = "bilinear"
     )
 
 
+def bilinear_resize_host(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Pure-numpy bilinear resize, exactly torch's
+    F.interpolate(mode='bilinear', align_corners=False, antialias=False) —
+    the transform the reference applies on the resize-back path
+    (marigold_depth_pipeline.py:306-312). Runs on host: no device dispatch,
+    no per-shape compilation. img: [..., H, W, C]."""
+    h, w = img.shape[-3], img.shape[-2]
+    th, tw = out_hw
+    if (h, w) == (th, tw):
+        return np.asarray(img)
+
+    def axis_weights(n_in, n_out):
+        # src = (i + 0.5) * n_in/n_out - 0.5, clamped; linear weights
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        src = np.clip(src, 0, n_in - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = (src - lo).astype(img.dtype if img.dtype.kind == "f" else np.float32)
+        return lo, hi, frac
+
+    rlo, rhi, rf = axis_weights(h, th)
+    clo, chi, cf = axis_weights(w, tw)
+    x = np.asarray(img, np.float32)
+    top = x[..., rlo, :, :] * (1 - rf)[:, None, None] + x[..., rhi, :, :] * rf[:, None, None]
+    out = top[..., :, clo, :] * (1 - cf)[:, None] + top[..., :, chi, :] * cf[:, None]
+    return out
+
+
 def chw2hwc(chw: np.ndarray) -> np.ndarray:
     assert 3 == chw.ndim
     return np.moveaxis(chw, 0, -1)

@@ -215,3 +215,47 @@ def test_gram_cost_equals_direct_pixel_cost(rng):
             )
             gram_cost += np.sqrt(max(m2, 0) + 1e-12)
     assert abs(direct - gram_cost) < 1e-4, (direct, gram_cost)
+
+
+def test_ensemble_depth_masked_padding_equals_cropped(rng):
+    """Bucketing support: ensemble over edge-padded members with a validity
+    mask must reproduce the unpadded ensemble on the valid region — the
+    alignment statistics exclude padding exactly."""
+    import jax.numpy as jnp
+    from marigold_tpu.pipelines.ensemble import ensemble_depth
+
+    E, H, W = 5, 40, 48
+    base = rng.uniform(0.1, 0.9, (H, W, 1)).astype(np.float32)
+    members = np.stack([
+        np.clip(base * rng.uniform(0.7, 1.3) + rng.uniform(-0.1, 0.1)
+                + rng.normal(0, 0.01, base.shape), 0, 1).astype(np.float32)
+        for _ in range(E)
+    ])
+
+    ref_pred, ref_unc = ensemble_depth(
+        jnp.asarray(members), output_uncertainty=True
+    )
+
+    HP, WP = 64, 64
+    padded = np.pad(members, ((0, 0), (0, HP - H), (0, WP - W), (0, 0)),
+                    mode="edge")
+    mask = np.zeros((1, HP, WP, 1), bool)
+    mask[:, :H, :W] = True
+    pad_pred, pad_unc = ensemble_depth(
+        jnp.asarray(padded), output_uncertainty=True,
+        valid_mask=jnp.asarray(mask),
+    )
+
+    # statistics are mathematically identical; BFGS fp path-dependence
+    # bounds agreement at ~1e-3 on [0,1] maps
+    np.testing.assert_allclose(
+        np.asarray(pad_pred)[:, :H, :W], np.asarray(ref_pred), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pad_unc)[:, :H, :W], np.asarray(ref_unc), atol=5e-3
+    )
+    # padding must not leak into the statistics at all: correlation of the
+    # valid region stays essentially exact
+    a = np.asarray(pad_pred)[:, :H, :W].ravel()
+    b = np.asarray(ref_pred).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99999

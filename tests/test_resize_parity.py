@@ -66,3 +66,24 @@ def test_bilinear_antialias_close_to_torch(out_hw, rng):
     )
     assert np.mean(np.abs(ours - theirs)) < 0.02
     np.testing.assert_allclose(ours, theirs, atol=0.12)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((96, 96), (768, 768)),   # upscale (the resize-back path)
+    ((768, 768), (480, 640)), # downscale back to input res
+    ((37, 53), (40, 60)),
+    ((40, 60), (37, 53)),
+])
+def test_bilinear_resize_host_matches_torch(in_hw, out_hw, rng):
+    """The host-side resize-back must be torch F.interpolate bilinear
+    (align_corners=False, NO antialias) — bit-level parity with the
+    reference's output path."""
+    x = rng.standard_normal(in_hw + (3,)).astype(np.float32)
+    ours = image_util.bilinear_resize_host(x, out_hw)
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(2, 0, 1)[None], size=out_hw,
+            mode="bilinear", align_corners=False,
+        )[0].permute(1, 2, 0).numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-4)
