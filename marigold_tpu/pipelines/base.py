@@ -183,12 +183,17 @@ class DiffusionCore:
     # fully-fused serving program: ONE dispatch per image
 
     def _build_fused_fn(self, num_steps: int, ensemble_size: int, chunk: int,
-                        mode: str, n_targets: int, out_hw, crop_hw,
+                        mode: str, n_targets: int,
                         ensemble_opts: tuple):
-        """preprocessed rgb [1,Hp,Wp,3] + PRNG key -> (prediction, uncertainty)
-        — encode, all-member denoise (lax.map over chunks), decode, ensemble
-        reduction/alignment, crop, and resize-back fused into one XLA
-        program. Eliminates per-op tunnel dispatch latency entirely."""
+        """Bucket-shaped serving program: rgb [1,Hb,Wb,3] (padded to a
+        bucket grid) + validity mask [1,Hb,Wb,1] + PRNG key ->
+        (pred [1,Hb,Wb,C], unc [1,Hb,Wb,1]) — encode, all-member denoise
+        (lax.map over chunks), decode, and mask-aware ensemble
+        reduction/alignment fused into ONE XLA program. The program key
+        contains only the bucket shape (not the image's true size or output
+        size), so mixed-resolution folder inference compiles at most one
+        program per bucket; the caller crops to the valid region and
+        resizes back on host (torch-exact bilinear, no device dispatch)."""
         from marigold_tpu.pipelines import ensemble as ens
 
         schedule = self.schedule
@@ -263,7 +268,7 @@ class DiffusionCore:
                 outs.append((jnp.clip(img.astype(jnp.float32), -1, 1) + 1) / 2)
             return jnp.concatenate(outs, axis=-1)
 
-        def fused(unet_params, vae_params, rgb, key, text):
+        def fused(unet_params, vae_params, rgb, mask, key, text):
             if rgb.dtype == jnp.uint8:
                 rgb = rgb.astype(jnp.float32) / 127.5 - 1.0
             rgb_lat = vae_lib.encode_mean_scaled(
@@ -307,9 +312,10 @@ class DiffusionCore:
                 preds = jax.lax.with_sharding_constraint(
                     preds, NamedSharding(mesh, P())
                 )
-            preds = preds[:E, : crop_hw[0], : crop_hw[1], :]
+            preds = preds[:E]
 
-            # ensemble reduce (inlined, still on device)
+            # ensemble reduce (inlined, still on device; padding excluded
+            # from all statistics via the mask)
             if E > 1:
                 if mode == "depth":
                     pred, unc = ens.ensemble_depth(
@@ -324,6 +330,7 @@ class DiffusionCore:
                         max_iter=ens_kwargs.get("max_iter", 50),
                         tol=ens_kwargs.get("tol", 1e-6),
                         max_res=ens_kwargs.get("max_res", 1024),
+                        valid_mask=mask,
                     )
                 elif mode == "normals":
                     pred, unc = ens.ensemble_normals(
@@ -340,18 +347,12 @@ class DiffusionCore:
             else:
                 pred = preds
                 if mode == "depth":
-                    d_min, d_max = jnp.min(pred), jnp.max(pred)
+                    big = jnp.asarray(jnp.inf, pred.dtype)
+                    d_min = jnp.min(jnp.where(mask, pred, big))
+                    d_max = jnp.max(jnp.where(mask, pred, -big))
                     pred = (pred - d_min) / jnp.clip(d_max - d_min, 1e-6, None)
                 unc = None
 
-            if out_hw is not None and out_hw != crop_hw:
-                pred = image_util.resize_jax(pred, out_hw, "bilinear")
-                if unc is not None:
-                    unc = image_util.resize_jax(unc, out_hw, "bilinear")
-                if mode == "normals":
-                    pred = pred / jnp.clip(
-                        jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-6, None
-                    )
             if unc is None:
                 unc = jnp.zeros_like(pred[..., :1])
             return pred, unc
@@ -359,14 +360,13 @@ class DiffusionCore:
         return jax.jit(fused)
 
     def get_fused_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
-                     n_targets, out_hw, crop_hw, ensemble_opts=()):
+                     n_targets, ensemble_opts=()):
         key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
-               n_targets, out_hw, crop_hw, ensemble_opts)
+               n_targets, ensemble_opts)
         return self._cached_program(
             key,
             lambda: self._build_fused_fn(num_steps, ensemble_size, chunk,
-                                         mode, n_targets, out_hw, crop_hw,
-                                         ensemble_opts),
+                                         mode, n_targets, ensemble_opts),
         )
 
     # -------------------------------------------------------------- #
@@ -630,11 +630,21 @@ class BasePipeline:
         out_hw: Optional[tuple] = None,  # resize-back target (input res)
         ensemble_kwargs: Optional[dict] = None,
     ):
-        """Single-dispatch fused inference. Returns (pred [h,w,C] float32,
-        uncertainty [h,w] or None)."""
+        """Single-dispatch fused inference with SHAPE BUCKETING: the
+        processed image is edge-padded up to a 64-px bucket grid, so
+        mixed-resolution folder inference (processing_res=0) compiles at
+        most one program per bucket instead of one per unique image shape
+        (remote compiles cost minutes each on this stack). A validity mask
+        keeps the padding out of the ensemble statistics; crop-back and the
+        resize to the original resolution happen on host (torch-exact
+        bilinear). Returns (pred [h,w,C] float32, uncertainty [h,w,C] or
+        None)."""
         core = self.core
-        x, h0, w0 = pad_to_multiple_of(rgb_norm[None], core.vae_cfg.downscale_factor)
+        bucket = max(64, core.vae_cfg.downscale_factor)
+        x, h0, w0 = pad_to_multiple_of(rgb_norm[None], bucket)
         hp, wp = x.shape[1], x.shape[2]
+        mask = np.zeros((1, hp, wp, 1), bool)
+        mask[:, :h0, :w0] = True
 
         if batch_size <= 0:
             batch_size = find_batch_size(
@@ -655,15 +665,22 @@ class BasePipeline:
 
         fn = core.get_fused_fn(
             hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
-            self.n_targets, out_hw, (h0, w0), opts,
+            self.n_targets, opts,
         )
         key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
         pred, unc = fn(
-            core.unet_params, core.vae_params, jnp.asarray(x), key,
-            core.empty_text_embed,
+            core.unet_params, core.vae_params, jnp.asarray(x),
+            jnp.asarray(mask), key, core.empty_text_embed,
         )
-        pred_np = np.asarray(jax.device_get(pred))[0]
-        unc_np = np.asarray(jax.device_get(unc))[0]  # [h,w,C_unc]
+        pred_np = np.asarray(jax.device_get(pred))[0, :h0, :w0]
+        unc_np = np.asarray(jax.device_get(unc))[0, :h0, :w0]
+
+        if out_hw is not None and out_hw != (h0, w0):
+            pred_np = image_util.bilinear_resize_host(pred_np, out_hw)
+            unc_np = image_util.bilinear_resize_host(unc_np, out_hw)
+            if self.mode == "normals":
+                norm = np.linalg.norm(pred_np, axis=-1, keepdims=True)
+                pred_np = pred_np / np.clip(norm, 1e-6, None)
         if ensemble_size <= 1:
             unc_np = None
         return pred_np.astype(np.float32), unc_np
