@@ -95,12 +95,16 @@ def main():
         show_progress_bar=False,
     )
 
-    # Throughput serving: 2 images' ensembles share one fused program
-    # (20-sample denoise batch saturates the MXU better than 10). Inputs
-    # upload as uint8 and normalize on device — 4x less host->device
-    # traffic, which was the steady-state pipeline bubble.
-    NI = 2
-    imgs = [img, rng.integers(0, 255, (RES, RES, 3), dtype=np.uint8)]
+    # Throughput serving: NI images' ensembles share one fused program
+    # (the denoise batch saturates the MXU; decode is chunked separately
+    # at <=20 rows). Inputs upload as uint8 and normalize on device — 4x
+    # less host->device traffic, which was the steady-state pipeline
+    # bubble.
+    NI = int(os.environ.get("MARIGOLD_BENCH_NI", "2"))
+    imgs = [img] + [
+        rng.integers(0, 255, (RES, RES, 3), dtype=np.uint8)
+        for _ in range(NI - 1)
+    ]
 
     import jax as _jax
     import numpy as _np

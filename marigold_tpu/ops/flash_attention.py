@@ -139,7 +139,9 @@ def _flash_kernel_dt(n_valid_ref, qt_ref, kt_ref, vt_ref, ot_ref, *,
     ot_ref[:] = (acc / jnp.maximum(l_fin, 1e-30)).astype(ot_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+)
 def flash_attention_dt(
     qt: jax.Array,
     kt: jax.Array,
@@ -153,7 +155,25 @@ def flash_attention_dt(
 ) -> jax.Array:
     """Transposed-layout flash attention. qt/kt/vt: [BH, D, N] with D a
     multiple of the sublane tile (16 for bf16; SD2 uses 64). Returns
-    O^T [BH, D, Nq]. Softmax scale = 1/sqrt(D)."""
+    O^T [BH, D, Nq]. Softmax scale = 1/sqrt(D).
+
+    Differentiable: the forward runs the Pallas kernel (O(N*D) HBM); the
+    backward recomputes attention probabilities in q-chunks of <=1024 rows
+    under lax.scan (exact gradients, logits memory bounded to one chunk —
+    the role xformers' memory-efficient backward plays for the reference's
+    training, src/trainer/marigold_depth_trainer.py:96)."""
+    return _flash_dt_impl(qt, kt, vt, block_q, block_k, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_dt_impl(
+    qt: jax.Array,
+    kt: jax.Array,
+    vt: jax.Array,
+    block_q: int = 2304,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
     bh, d, nq = qt.shape
     nk = kt.shape[2]
     scale = 1.0 / math.sqrt(d)
@@ -255,3 +275,67 @@ def flash_attention(
     )(n_valid, qp, kp, vp)
 
     return out[:, :nq, :d]
+
+
+def _flash_dt_fwd(qt, kt, vt, block_q, block_k, interpret):
+    out = _flash_dt_impl(qt, kt, vt, block_q, block_k, interpret)
+    return out, (qt, kt, vt)
+
+
+def _flash_dt_bwd(block_q, block_k, interpret, res, got):
+    """Exact attention backward on the transposed layout, q-chunked so the
+    [chunk, Nk] logits never exceed one chunk's footprint.
+
+    Math (per batch-head, standard attention grads): with S = QK^T*s,
+    P = softmax(S), O = PV:
+      dV = P^T dO;  dP = dO V^T;  dS = P*(dP - rowsum(dP*P));
+      dQ = dS K * s;  dK = dS^T Q * s.
+    """
+    qt, kt, vt = res
+    bh, d, nq = qt.shape
+    nk = kt.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    CH = min(1024, _round_up(nq, 128))
+    nq_pad = _round_up(nq, CH)
+    if nq_pad > nq:
+        # zero-padded dO rows contribute exactly zero to every gradient
+        qt_p = jnp.pad(qt, ((0, 0), (0, 0), (0, nq_pad - nq)))
+        got_p = jnp.pad(got, ((0, 0), (0, 0), (0, nq_pad - nq)))
+    else:
+        qt_p, got_p = qt, got
+    n_ch = nq_pad // CH
+    qt_c = qt_p.reshape(bh, d, n_ch, CH).transpose(2, 0, 1, 3)
+    got_c = got_p.reshape(bh, d, n_ch, CH).transpose(2, 0, 1, 3)
+
+    def body(carry, xs):
+        dkt_acc, dvt_acc = carry
+        q_c, g_c = xs  # [bh, d, CH]
+        s = jnp.einsum("bdq,bdk->bqk", q_c, kt,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)  # fp32 [bh, CH, nk]
+        dp = jnp.einsum("bdq,bdk->bqk", g_c, vt,
+                        preferred_element_type=jnp.float32)
+        r = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - r)).astype(kt.dtype)
+        dq_c = jnp.einsum("bqk,bdk->bdq", ds, kt,
+                          preferred_element_type=jnp.float32) * scale
+        dkt_acc = dkt_acc + jnp.einsum(
+            "bqk,bdq->bdk", ds, q_c, preferred_element_type=jnp.float32
+        ) * scale
+        dvt_acc = dvt_acc + jnp.einsum(
+            "bqk,bdq->bdk", p.astype(g_c.dtype), g_c,
+            preferred_element_type=jnp.float32,
+        )
+        return (dkt_acc, dvt_acc), dq_c
+
+    zeros = jnp.zeros((bh, d, nk), jnp.float32)
+    (dkt, dvt), dq_stack = jax.lax.scan(body, (zeros, zeros), (qt_c, got_c))
+    dqt = dq_stack.transpose(1, 2, 0, 3).reshape(bh, d, nq_pad)[:, :, :nq]
+    return (
+        dqt.astype(qt.dtype),
+        dkt.astype(kt.dtype),
+        dvt.astype(vt.dtype),
+    )
+
+
+flash_attention_dt.defvjp(_flash_dt_fwd, _flash_dt_bwd)

@@ -391,9 +391,17 @@ class DiffusionCore:
         total = NI * E
         n_chunks = -(-total // chunk)
         t_pad = n_chunks * chunk
+        # decode is chunked independently of the denoise batch: the
+        # decoder's 768px activations cap its batch (~20 rows on v5e),
+        # while the denoise batch can grow to amortize fixed costs — the
+        # handoff is tiny latents, not decoded images. Chunks are balanced
+        # (ceil split) so padding never exceeds n_dec-1 rows.
+        n_dec = -(-total // min(20, total))
+        dec_chunk = -(-total // n_dec)
+        d_pad = n_dec * dec_chunk
         ens_kwargs = dict(ensemble_opts)
 
-        def denoise_decode(unet_params, vae_params, rgb_rows, noise, text):
+        def denoise(unet_params, rgb_rows, noise, text):
             target = noise.astype(self.dtype)
 
             def step(carry, t_pair):
@@ -406,6 +414,9 @@ class DiffusionCore:
                 )
 
             target, _ = jax.lax.scan(step, target, ts_table)
+            return target  # [rows, h, w, 4n] latents
+
+        def decode(vae_params, target):
             if mode == "depth":
                 img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
                 d = jnp.mean(img.astype(jnp.float32), axis=-1, keepdims=True)
@@ -470,19 +481,27 @@ class DiffusionCore:
                 rgb_rows = jnp.concatenate([rgb_rows, rgb_rows[:pad_n]], axis=0)
 
             if n_chunks == 1:
-                preds = denoise_decode(
-                    unet_params, vae_params, rgb_rows, noise, text
-                )
+                latents = denoise(unet_params, rgb_rows, noise, text)
             else:
                 rr = rgb_rows.reshape((n_chunks, chunk) + rgb_rows.shape[1:])
                 nn = noise.reshape((n_chunks, chunk) + noise.shape[1:])
-                preds = jax.lax.map(
-                    lambda ab: denoise_decode(
-                        unet_params, vae_params, ab[0], ab[1], text
-                    ),
+                latents = jax.lax.map(
+                    lambda ab: denoise(unet_params, ab[0], ab[1], text),
                     (rr, nn),
                 )
-                preds = preds.reshape((t_pad,) + preds.shape[2:])
+                latents = latents.reshape((t_pad,) + latents.shape[2:])
+            latents = latents[:total]
+
+            if n_dec == 1:
+                preds = decode(vae_params, latents)
+            else:
+                if d_pad > total:
+                    latents = jnp.concatenate(
+                        [latents, latents[: d_pad - total]], axis=0
+                    )
+                lc = latents.reshape((n_dec, dec_chunk) + latents.shape[1:])
+                preds = jax.lax.map(lambda z: decode(vae_params, z), lc)
+                preds = preds.reshape((d_pad,) + preds.shape[2:])
             preds = preds[:total, : crop_hw[0], : crop_hw[1], :]
             preds = preds.reshape((NI, E) + preds.shape[1:])
 

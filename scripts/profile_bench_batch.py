@@ -25,7 +25,7 @@ def main():
     from marigold_tpu.core.scheduler import DiffusionSchedule
     from marigold_tpu.models import unet as unet_lib
     from marigold_tpu.models import vae as vae_lib
-    from marigold_tpu.pipelines.base import DiffusionCore, image_to_array
+    from marigold_tpu.pipelines.base import DiffusionCore
     from marigold_tpu.pipelines.depth import MarigoldDepthPipeline
 
     dtype = jnp.bfloat16
@@ -46,7 +46,7 @@ def main():
 
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 255, (768, 768, 3), dtype=np.uint8) for _ in range(2)]
-    rgb_stack = np.stack([image_to_array(im) for im in imgs])
+    rgb_stack = np.stack(imgs)  # uint8, matching bench.py
 
     def run(i):
         return pipe._infer_fused_batch(

@@ -168,3 +168,82 @@ def test_dt_dispatch_equivalence(rng):
         .reshape(b, n, c)
     )
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_dt_gradients_match_xla(rng):
+    """The custom VJP (Pallas forward + chunked recompute backward) must
+    produce the same q/k/v gradients as differentiating plain attention —
+    this is the TPU training path (r1 trained only where flash was
+    bypassed; the kernel had no JVP rule)."""
+    bh, n, d = 2, 300, 64
+    q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out_t = flash_attention_dt(
+            q.transpose(0, 2, 1), k.transpose(0, 2, 1), v.transpose(0, 2, 1),
+            128, 128, True,
+        )
+        return jnp.sum(out_t.transpose(0, 2, 1) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, num_heads=1) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
+
+
+def test_unet_grad_flows_through_flash_dispatch(rng, monkeypatch):
+    """End-to-end: differentiate a tiny UNet with the flash dispatch FORCED
+    on (as on TPU) — must not raise and must match the XLA-attention
+    gradients."""
+    from marigold_tpu.ops import attention as A
+    from marigold_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig(
+        sample_size=16, in_channels=8, out_channels=4,
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=(2, 4),
+        cross_attention_dim=12, norm_num_groups=4,
+    )
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+    ctx = jnp.zeros((1, 2, 12), jnp.float32)
+
+    def loss(params):
+        out = unet_lib.apply(params, cfg, x, jnp.asarray(10), ctx)
+        return jnp.mean(out**2)
+
+    g_ref = jax.grad(loss)(params)
+
+    # force the flash path (interpret mode so it runs on CPU)
+    from marigold_tpu.ops.flash_attention import flash_attention_dt as _dt
+
+    monkeypatch.setattr(A, "_FLASH_MIN_SEQ", 1)
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    import functools as _ft
+
+    monkeypatch.setattr(
+        "marigold_tpu.ops.flash_attention.flash_attention_dt",
+        _ft.partial(_dt, block_q=128, block_k=128, interpret=True),
+    )
+    g_flash = jax.grad(loss)(params)
+
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_f = {jax.tree_util.keystr(p): a
+              for p, a in jax.tree_util.tree_leaves_with_path(g_flash)}
+    for p, gr in flat_r:
+        gf = flat_f[jax.tree_util.keystr(p)]
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(p),
+        )
