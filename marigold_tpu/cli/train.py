@@ -35,6 +35,11 @@ def build_parser():
     parser.add_argument("--exit_after", type=int, default=-1,
                         help="Save and exit after this many minutes")
     parser.add_argument("--no_val", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="Shard the per-step batch over all devices "
+                             "(params replicated, psum grad all-reduce "
+                             "from sharding annotations). Requires "
+                             "max_train_batch_size % n_devices == 0.")
     parser.add_argument("--do_not_copy_data", action="store_true",
                         help="(Slurm) do not copy data to local scratch")
     return parser
@@ -213,6 +218,20 @@ def main(argv=None):
         pipe.target_names = pipe.target_properties["target_names"]
         pipe.n_targets = len(pipe.target_names)
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from marigold_tpu.parallel.mesh import get_mesh
+
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            mesh = get_mesh(n_dev)
+            logging.info(f"data-parallel training over {n_dev} devices")
+        else:
+            logging.warning("--data_parallel requested but only one device "
+                            "is available; training single-device")
+
     trainer_cls = get_trainer_cls(cfg.trainer.name)
     trainer = trainer_cls(
         cfg=cfg,
@@ -224,6 +243,7 @@ def main(argv=None):
         accumulation_steps=accumulation_steps,
         val_dataloaders=val_loaders,
         vis_dataloaders=vis_loaders,
+        mesh=mesh,
     )
 
     if resume_run is not None:

@@ -62,10 +62,12 @@ class MarigoldTrainerBase:
         val_dataloaders: Optional[List] = None,
         vis_dataloaders: Optional[List] = None,
         device=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.model = model
         self.core = model.core
+        self.mesh = mesh  # jax.sharding.Mesh with a "data" axis, or None
         self.train_loader = train_dataloader
         self.out_dir_ckpt = out_dir_ckpt
         self.out_dir_eval = out_dir_eval
@@ -92,6 +94,14 @@ class MarigoldTrainerBase:
             lambda x: x.astype(jnp.float32), self.core.unet_params
         )
         self.state = create_train_state(unet_params_f32, self.optimizer)
+        if mesh is not None:
+            # data-parallel training: params/opt replicated, per-step batch
+            # sharded along the leading dim; XLA inserts the psum gradient
+            # all-reduce from the sharding annotations (SURVEY.md §2.6)
+            from marigold_tpu.parallel.mesh import replicate
+
+            self.state = replicate(mesh, self.state)
+            self.core.vae_params = replicate(mesh, self.core.vae_params)
 
         mrn = cfg.get("multi_res_noise")
         self.train_step = jax.jit(
@@ -170,6 +180,18 @@ class MarigoldTrainerBase:
 
             for batch in loader:
                 batch_dev = self._assemble_batch(batch)
+                if self.mesh is not None:
+                    from marigold_tpu.parallel.mesh import shard_batch
+
+                    n_dev = self.mesh.shape["data"]
+                    lead = next(iter(batch_dev.values())).shape[0]
+                    if lead % n_dev:
+                        raise ValueError(
+                            f"max_train_batch_size ({lead}) must be a "
+                            f"multiple of the mesh size ({n_dev}) for "
+                            "data-parallel training"
+                        )
+                    batch_dev = shard_batch(self.mesh, batch_dev)
                 key = self._step_key()
                 self.state, step_metrics = self.train_step(
                     self.state,
