@@ -181,3 +181,25 @@ def test_shape_bucketing_bounds_compiles(depth_ckpt, rng):
     fused_keys = [k for k in pipe.core._jit_cache if k[0] == "fused"]
     # buckets: (64,64) for the first three, (64,128) for the last
     assert len(fused_keys) == 2, fused_keys
+
+
+def test_uint8_serving_equals_float(depth_ckpt, rng):
+    """The uint8 device-side normalization path (u/127.5 - 1) must produce
+    exactly the float path's results — it is the same arithmetic moved
+    on-device to quarter the host->device upload."""
+    from marigold_tpu.pipelines.base import image_to_array
+    from marigold_tpu.pipelines.depth import MarigoldDepthPipeline
+
+    pipe = MarigoldDepthPipeline.from_pretrained(depth_ckpt)
+    imgs = [rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+            for _ in range(2)]
+    u8 = np.stack(imgs)
+    f32 = np.stack([image_to_array(im) for im in imgs])
+
+    pu8, _ = pipe._infer_fused_batch(
+        u8, denoising_steps=1, ensemble_size=2, seed=7, out_hw=(40, 48)
+    )
+    pf32, _ = pipe._infer_fused_batch(
+        f32, denoising_steps=1, ensemble_size=2, seed=7, out_hw=(40, 48)
+    )
+    np.testing.assert_allclose(np.asarray(pu8), np.asarray(pf32), atol=1e-5)
