@@ -76,11 +76,22 @@ def make_train_step(
     loss_name: str = "mse_loss",
     multi_res_noise_cfg: Optional[dict] = None,
     use_mask: bool = True,
+    compute_dtype=jnp.bfloat16,
 ) -> Callable:
     """Returns train_step(state, vae_params, text_embed, batch, key) ->
     (state, metrics). batch: dict with rgb_norm [B,H,W,3], target gt
     [B,H,W,3] (depth stacked to 3ch / normals / per-target concat), and
-    optional valid_mask [B,H,W,1] bool."""
+    optional valid_mask [B,H,W,1] bool.
+
+    Mixed precision: fp32 master params (state.params) are cast to
+    `compute_dtype` for the UNet forward/backward; gradients accumulate
+    back to fp32 through the cast; latents/targets/loss stay fp32
+    (reference keeps them fp32 at marigold_depth_trainer.py:306,329).
+    Pass compute_dtype=None to run the forward in the master dtype.
+
+    Jit with donate_argnums=(0,) — at SD2 scale the fp32 Adam(+accum)
+    state is ~14 GB; without donating the TrainState the update holds two
+    copies and OOMs a 16 GB chip."""
     loss_fn_inner = get_loss(loss_name)
     n_latent = vae_cfg.latent_channels
     ds = vae_cfg.downscale_factor
@@ -140,9 +151,14 @@ def make_train_step(
             mask_lat = None
 
         def loss_of(params):
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype), params
+                )
             x = jnp.concatenate(
                 [rgb_latent, noisy_latents.astype(rgb_latent.dtype)], axis=-1
             )
+            x = x.astype(params["conv_in"]["weight"].dtype)
             pred = unet_lib.apply(params, unet_cfg, x, timesteps, text_embed)
             pred = pred.astype(jnp.float32)
             if mask_lat is not None:

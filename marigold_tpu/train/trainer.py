@@ -104,6 +104,9 @@ class MarigoldTrainerBase:
             self.core.vae_params = replicate(mesh, self.core.vae_params)
 
         mrn = cfg.get("multi_res_noise")
+        # donate the state: at SD2 scale the fp32 Adam(+accum) state is
+        # ~14 GB — without donation the update transiently holds old+new
+        # copies and OOMs a 16 GB chip
         self.train_step = jax.jit(
             make_train_step(
                 self.core.unet_cfg,
@@ -113,7 +116,9 @@ class MarigoldTrainerBase:
                 loss_name=cfg.loss.name,
                 multi_res_noise_cfg=dict(mrn) if mrn else None,
                 use_mask=cfg.get("gt_mask_type") is not None,
-            )
+                compute_dtype=self.core.dtype,
+            ),
+            donate_argnums=(0,),
         )
 
         # trainer state (reference naming)

@@ -143,7 +143,11 @@ def main():
         step = jax.jit(make_train_step(
             unet_cfg, vae_cfg, DiffusionSchedule.create(), optimizer,
             loss_name="mse_loss", multi_res_noise_cfg=None,
-        ))
+        ), donate_argnums=(0,))
+        # fp32 master params (the real training configuration)
+        unet_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), unet_params
+        )
         state = create_train_state(unet_params, optimizer)
         text = jnp.zeros((1, 2, 1024), jnp.bfloat16)
         rng = np.random.default_rng(0)
