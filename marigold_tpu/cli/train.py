@@ -178,7 +178,10 @@ def main(argv=None):
         prob=list(cfg.dataset.train.get("prob_ls") or []) or None,
         generator=random.Random(loader_seed),
     )
-    train_loader = DataLoader(concat, batch_sampler=sampler)
+    train_loader = DataLoader(
+        concat, batch_sampler=sampler,
+        num_workers=int(cfg.dataloader.get("num_workers", 0)),
+    )
 
     def _mk_eval_loaders(split):
         loaders = []

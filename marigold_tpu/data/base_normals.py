@@ -24,35 +24,53 @@ from marigold_tpu.data.base_depth import (
 
 
 def _gaussian_blur(img: np.ndarray, sigma: float, kernel_size: int = 33) -> np.ndarray:
-    from scipy.ndimage import gaussian_filter
-
     if sigma <= 0:
         return img
-    trunc = ((kernel_size - 1) / 2) / max(sigma, 1e-6)
-    out = np.stack(
-        [gaussian_filter(img[..., c].astype(np.float32), sigma, truncate=trunc)
-         for c in range(img.shape[-1])],
-        axis=-1,
-    )
-    return out
+    try:  # cv2's SIMD separable filter is ~10x scipy's per-channel loop
+        import cv2
+
+        k = kernel_size | 1
+        return cv2.GaussianBlur(
+            img.astype(np.float32), (k, k), sigmaX=sigma, sigmaY=sigma,
+            borderType=cv2.BORDER_REPLICATE,
+        )
+    except ImportError:
+        from scipy.ndimage import gaussian_filter
+
+        trunc = ((kernel_size - 1) / 2) / max(sigma, 1e-6)
+        return gaussian_filter(
+            img.astype(np.float32), (sigma, sigma, 0), truncate=trunc
+        )
 
 
-def _motion_blur(img: np.ndarray, kernel_size: int, angle_deg: float) -> np.ndarray:
-    """Line kernel rotated by angle, depthwise conv (reference
-    base_normals_dataset.py:205-246)."""
-    from scipy.ndimage import convolve, rotate
+def _motion_blur_kernel(kernel_size: int, angle_deg: float) -> np.ndarray:
+    from scipy.ndimage import rotate
 
     kernel = np.zeros((kernel_size, kernel_size), np.float32)
     kernel[kernel_size // 2, :] = 1.0
     kernel = rotate(kernel, angle_deg, reshape=False, order=1)
     kernel = np.clip(kernel, 0, None)
     kernel /= max(kernel.sum(), 1e-8)
-    out = np.stack(
-        [convolve(img[..., c].astype(np.float32), kernel, mode="nearest")
-         for c in range(img.shape[-1])],
-        axis=-1,
-    )
-    return out
+    return kernel
+
+
+def _motion_blur(img: np.ndarray, kernel_size: int, angle_deg: float) -> np.ndarray:
+    """Line kernel rotated by angle, depthwise conv (reference
+    base_normals_dataset.py:205-246)."""
+    kernel = _motion_blur_kernel(kernel_size, angle_deg)
+    try:
+        import cv2
+
+        return cv2.filter2D(
+            img.astype(np.float32), -1, kernel,
+            borderType=cv2.BORDER_REPLICATE,
+        )
+    except ImportError:
+        from scipy.ndimage import convolve
+
+        return convolve(
+            img.astype(np.float32), kernel[..., None], mode="nearest"
+        )
 
 
 def _color_jitter(rgb01: np.ndarray, brightness, contrast, saturation, hue,
@@ -78,20 +96,28 @@ def _color_jitter(rgb01: np.ndarray, brightness, contrast, saturation, hue,
             out = out * f + gray[..., None] * (1 - f)
         elif op == "h" and hue:
             shift = rng.uniform(-hue, hue)
-            hsv = np.asarray(
-                Image.fromarray(
-                    (np.clip(out, 0, 1) * 255).astype(np.uint8)
-                ).convert("HSV"),
-                np.float32,
-            )
-            hsv[..., 0] = (hsv[..., 0] + shift * 255.0) % 255.0
-            out = (
-                np.asarray(
-                    Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB"),
-                    np.float32,
+            u8 = (np.clip(out, 0, 1) * 255).astype(np.uint8)
+            try:  # cv2's SIMD HSV roundtrip is ~10x PIL's
+                import cv2
+
+                hsv = cv2.cvtColor(u8, cv2.COLOR_RGB2HSV_FULL)
+                h = hsv[..., 0].astype(np.int32)
+                hsv[..., 0] = ((h + int(round(shift * 255.0))) % 256).astype(
+                    np.uint8
                 )
-                / 255.0
-            )
+                out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB_FULL).astype(
+                    np.float32
+                ) / 255.0
+            except ImportError:
+                hsv = np.asarray(Image.fromarray(u8).convert("HSV"), np.float32)
+                hsv[..., 0] = (hsv[..., 0] + shift * 255.0) % 255.0
+                out = (
+                    np.asarray(
+                        Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB"),
+                        np.float32,
+                    )
+                    / 255.0
+                )
         out = np.clip(out, 0.0, 1.0)
     return out
 
@@ -194,43 +220,49 @@ class BaseNormalsDataset:
         return rasters
 
     def _augment_data(self, rasters):
+        """One float32 working buffer for the whole augmentation chain
+        (each stage still rounds to integer levels like the reference's
+        torchvision-on-int-tensor chain, but in place — on a slow host
+        core every avoided 9 MB astype copy is ~0.1 s/sample)."""
         a = self.augm_args
         if random.random() < a.get("lr_flip_p", 0):
-            rasters = {k: np.ascontiguousarray(v[:, ::-1]) for k, v in rasters.items()}
-            if "normals" in rasters:
-                rasters["normals"][..., 0] *= -1
+            rasters = {k: v[:, ::-1] for k, v in rasters.items()}  # views
+            n = np.ascontiguousarray(rasters.get("normals")) if "normals" in rasters else None
+            if n is not None:
+                n[..., 0] *= -1
+                rasters["normals"] = n
 
-        is_hypersim_res = rasters["rgb_int"].shape[0] == 768
+        rgb_f = np.ascontiguousarray(rasters["rgb_int"]).astype(np.float32)
+        is_hypersim_res = rgb_f.shape[0] == 768
         if random.random() < a.get("gaussian_blur_p", 0) and is_hypersim_res:
             sigma = random.uniform(0.0, a.get("gaussian_blur_sigma", 2.0))
-            rasters["rgb_int"] = _gaussian_blur(
-                rasters["rgb_int"].astype(np.float32), sigma
-            ).astype(np.int32)
+            rgb_f = _gaussian_blur(rgb_f, sigma)
+            np.rint(rgb_f, out=rgb_f)  # reference quantizes between stages
 
         if random.random() < a.get("motion_blur_p", 0) and is_hypersim_res:
             max_k = a.get("motion_blur_kernel_size", 9)
             ks = random.choice([x for x in range(3, max_k + 1) if x % 2 == 1])
             angle = random.uniform(0.0, a.get("motion_blur_angle_range", 180.0))
-            rasters["rgb_int"] = _motion_blur(
-                rasters["rgb_int"].astype(np.float32), ks, angle
-            ).astype(np.int32)
+            rgb_f = _motion_blur(rgb_f, ks, angle)
+            np.rint(rgb_f, out=rgb_f)
 
         if random.random() < a.get("color_jitter_p", 0):
             rng = random.Random(random.random())
-            rgb01 = rasters["rgb_int"].astype(np.float32) / 255.0
-            rgb01 = _color_jitter(
-                rgb01,
+            rgb_f *= 1.0 / 255.0
+            rgb_f = _color_jitter(
+                rgb_f,
                 a.get("jitter_brightness_factor", 0),
                 a.get("jitter_contrast_factor", 0),
                 a.get("jitter_saturation_factor", 0),
                 a.get("jitter_hue_factor", 0),
                 rng,
             )
-            rasters["rgb_int"] = (rgb01 * 255.0).astype(np.int32)
+            rgb_f *= 255.0
+            np.rint(rgb_f, out=rgb_f)
 
-        rasters["rgb_norm"] = (
-            rasters["rgb_int"].astype(np.float32) / 255.0 * 2.0 - 1.0
-        )
+        np.clip(rgb_f, 0.0, 255.0, out=rgb_f)
+        rasters["rgb_int"] = rgb_f.astype(np.int32)
+        rasters["rgb_norm"] = rgb_f * np.float32(2.0 / 255.0) - np.float32(1.0)
         return rasters
 
     def __del__(self):

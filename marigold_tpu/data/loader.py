@@ -16,6 +16,14 @@ from typing import Iterable, Optional, Sequence
 import numpy as np
 
 
+_WORKER_DATASET_COLLATE = None  # set before fork; inherited by workers
+
+
+def _assemble_batch_worker(batch_idx):
+    dataset, collate_fn = _WORKER_DATASET_COLLATE
+    return collate_fn([dataset[i] for i in batch_idx])
+
+
 def default_collate(samples: Sequence[dict]) -> dict:
     """Stack numpy leaves along a new batch dim; pass through non-arrays as
     lists."""
@@ -43,7 +51,12 @@ class DataLoader:
         seed: Optional[int] = None,
         collate_fn=default_collate,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
+        """num_workers > 0 assembles batches in forked worker processes
+        (reference DataLoader num_workers, config train_*.yaml) — decode +
+        augmentation scale with host cores; 0 keeps the single background
+        prefetch thread."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +65,7 @@ class DataLoader:
         self.rng = random.Random(seed)
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        self.num_workers = int(num_workers)
         self._skip = 0
 
     def _batches(self) -> Iterable[list]:
@@ -84,12 +98,15 @@ class DataLoader:
     def __iter__(self):
         skip = self._skip
         self._skip = 0
+        batch_lists = [b for bi, b in enumerate(self._batches()) if bi >= skip]
+
+        if self.num_workers > 0:
+            yield from self._iter_workers(batch_lists)
+            return
 
         def produce(q: queue.Queue):
             try:
-                for bi, batch_idx in enumerate(self._batches()):
-                    if bi < skip:
-                        continue
+                for batch_idx in batch_lists:
                     samples = [self.dataset[i] for i in batch_idx]
                     q.put(("item", self.collate_fn(samples)))
             except Exception as e:  # propagate to consumer
@@ -108,3 +125,16 @@ class DataLoader:
                 raise payload
             else:
                 return
+
+    def _iter_workers(self, batch_lists):
+        """Forked worker pool assembling whole batches; imap preserves
+        order (the reference's worker semantics), pool size bounds live
+        prefetch."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        global _WORKER_DATASET_COLLATE
+        _WORKER_DATASET_COLLATE = (self.dataset, self.collate_fn)
+        with ctx.Pool(self.num_workers) as pool:
+            for batch in pool.imap(_assemble_batch_worker, batch_lists):
+                yield batch

@@ -77,6 +77,7 @@ def make_train_step(
     multi_res_noise_cfg: Optional[dict] = None,
     use_mask: bool = True,
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> Callable:
     """Returns train_step(state, vae_params, text_embed, batch, key) ->
     (state, metrics). batch: dict with rgb_norm [B,H,W,3], target gt
@@ -159,7 +160,16 @@ def make_train_step(
                 [rgb_latent, noisy_latents.astype(rgb_latent.dtype)], axis=-1
             )
             x = x.astype(params["conv_in"]["weight"].dtype)
-            pred = unet_lib.apply(params, unet_cfg, x, timesteps, text_embed)
+            fwd = lambda p, xx: unet_lib.apply(
+                p, unet_cfg, xx, timesteps, text_embed
+            )
+            if remat:
+                # full rematerialization: backprop recomputes the forward
+                # instead of storing ~GBs of per-layer activations —
+                # trades ~1/3 more FLOPs for fitting full-size training
+                # in a single chip's HBM
+                fwd = jax.checkpoint(fwd)
+            pred = fwd(params, x)
             pred = pred.astype(jnp.float32)
             if mask_lat is not None:
                 diff = loss_fn_inner(pred, target, reduction="none")
@@ -188,14 +198,33 @@ def make_optimizer(
     lr: float,
     lr_schedule_fn: Optional[Callable] = None,
     accumulation_steps: int = 1,
+    name: str = "adam",
 ) -> optax.GradientTransformation:
-    """Adam(+schedule) with optional gradient accumulation (the reference's
-    effective-batch-32 = 2 x 16 accumulation, train_marigold_depth.yaml:29)."""
+    """Optimizer(+schedule) with optional gradient accumulation (the
+    reference's effective-batch-32 = 2 x 16 accumulation,
+    train_marigold_depth.yaml:29).
+
+    name:
+      * "adam" — the reference's optimizer (marigold_depth_trainer.py:105).
+        Caution at SD2 scale on one 16 GB chip: fp32 params + m + v +
+        the MultiSteps accumulator is ~13.9 GB of persistent state and
+        the step OOMs (measured); use >=2 chips or "adafactor".
+      * "adafactor" — factored second moments (state ~ params in MBs, not
+        GBs): the TPU-native choice for single-chip full-size fine-tuning.
+    """
     if lr_schedule_fn is not None:
         sched = lambda step: lr * lr_schedule_fn(step)
     else:
         sched = lr
-    opt = optax.adam(sched)
+    name = name.lower()
+    if name == "adam":
+        opt = optax.adam(sched)
+    elif name == "adafactor":
+        opt = optax.adafactor(
+            sched, multiply_by_parameter_scale=False, clipping_threshold=1.0
+        )
+    else:
+        raise ValueError(f"unknown optimizer: {name}")
     if accumulation_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
     return opt

@@ -86,8 +86,10 @@ class MarigoldTrainerBase:
         self.lr_schedule_fn = iter_exponential(
             int(lrs.total_iter), float(lrs.final_ratio), int(lrs.warmup_steps)
         )
+        opt_cfg = cfg.get("optimizer") or {}
         self.optimizer = make_optimizer(
-            lr, self.lr_schedule_fn, self.accumulation_steps
+            lr, self.lr_schedule_fn, self.accumulation_steps,
+            name=opt_cfg.get("name", "adam"),
         )
         # train in fp32 master params (bf16 fwd handled inside model dtype)
         unet_params_f32 = jax.tree_util.tree_map(
@@ -117,6 +119,7 @@ class MarigoldTrainerBase:
                 multi_res_noise_cfg=dict(mrn) if mrn else None,
                 use_mask=cfg.get("gt_mask_type") is not None,
                 compute_dtype=self.core.dtype,
+                remat=bool(cfg.trainer.get("remat", False)),
             ),
             donate_argnums=(0,),
         )

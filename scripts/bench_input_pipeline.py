@@ -138,11 +138,13 @@ def main():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         unet_params = unet_lib.init_params(k1, unet_cfg, dtype=jnp.bfloat16)
         vae_params = vae_lib.init_params(k2, vae_cfg, dtype=jnp.bfloat16)
+        # single-chip full-size config: adafactor (fp32 Adam + accumulation
+        # state is ~14 GB and OOMs, measured) + full remat + donated state
         optimizer = make_optimizer(3e-5, iter_exponential(30000, 0.01, 100),
-                                   accumulation_steps=16)
+                                   accumulation_steps=16, name="adafactor")
         step = jax.jit(make_train_step(
             unet_cfg, vae_cfg, DiffusionSchedule.create(), optimizer,
-            loss_name="mse_loss", multi_res_noise_cfg=None,
+            loss_name="mse_loss", multi_res_noise_cfg=None, remat=True,
         ), donate_argnums=(0,))
         # fp32 master params (the real training configuration)
         unet_params = jax.tree_util.tree_map(

@@ -357,3 +357,24 @@ def test_config_attribute_and_merge():
     c = merge_configs({"a": {"b": 1}}, {"a": {"c": 2}})
     assert c.a.b == 1 and c.a.c == 2
     assert c.to_dict() == {"a": {"b": 1, "c": 2}}
+
+
+def test_dataloader_num_workers_matches_inline(tmp_path, rng):
+    """Worker-pool batches must equal single-thread batches (same order,
+    same content) for a deterministic dataset."""
+    from marigold_tpu.data.loader import DataLoader
+
+    class SquareDataset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((3, 4), i, np.float32), "idx": i}
+
+    ds = SquareDataset()
+    a = list(DataLoader(ds, batch_size=3, shuffle=True, seed=5))
+    b = list(DataLoader(ds, batch_size=3, shuffle=True, seed=5, num_workers=2))
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["x"], bb["x"])
+        np.testing.assert_array_equal(ba["idx"], bb["idx"])

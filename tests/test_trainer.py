@@ -264,3 +264,41 @@ def test_trainer_mesh_batch_divisibility_error(sd2_ckpt, tmp_path, rng):
     )
     with pytest.raises(ValueError, match="multiple of the mesh size"):
         trainer.train()
+
+
+def test_adafactor_remat_training_path(sd2_ckpt, tmp_path, rng):
+    """The single-chip full-size configuration (adafactor + remat +
+    donated state) must train: overfit a tiny model a few steps."""
+    from marigold_tpu import MarigoldDepthPipeline
+    from marigold_tpu.train.trainer import MarigoldDepthTrainer
+
+    root, split = _make_depth_dataset(tmp_path, rng)
+    norm = get_depth_normalizer(
+        {"type": "scale_shift_depth", "norm_min": -1.0, "norm_max": 1.0,
+         "min_max_quantile": 0.02, "clip": True}
+    )
+    ds = get_dataset(
+        Config(name="nyu_depth", dir=".", filenames=split, disp_name="tiny_nyu",
+               eigen_valid_mask=False),
+        base_data_dir=root, mode=DatasetMode.TRAIN,
+        depth_transform=norm, augmentation_args=None,
+    )
+    train_loader = DataLoader(ds, batch_size=2, shuffle=True, seed=0,
+                              drop_last=True)
+    cfg = _trainer_cfg(max_iter=3)
+    cfg.optimizer = Config(name="Adafactor")
+    cfg.trainer.remat = True
+    cfg.trainer.validation_period = 0
+    cfg.trainer.backup_period = 0
+    trainer = MarigoldDepthTrainer(
+        cfg=cfg,
+        model=MarigoldDepthPipeline.from_pretrained(sd2_ckpt, dtype=jnp.float32),
+        train_dataloader=train_loader,
+        out_dir_ckpt=str(tmp_path / "c"), out_dir_eval=str(tmp_path / "e"),
+        out_dir_vis=str(tmp_path / "v"), accumulation_steps=2,
+        val_dataloaders=[], vis_dataloaders=[],
+    )
+    trainer.train()
+    assert trainer.effective_iter == 3
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
