@@ -100,7 +100,9 @@ def main():
     # at <=20 rows). Inputs upload as uint8 and normalize on device — 4x
     # less host->device traffic, which was the steady-state pipeline
     # bubble.
-    NI = int(os.environ.get("MARIGOLD_BENCH_NI", "2"))
+    # NI=4: 40-row denoise batch (decode chunked at 20) amortizes fixed
+    # per-batch costs; measured 0.613 vs 0.610 maps/s at NI=2
+    NI = int(os.environ.get("MARIGOLD_BENCH_NI", "4"))
     imgs = [img] + [
         rng.integers(0, 255, (RES, RES, 3), dtype=np.uint8)
         for _ in range(NI - 1)
@@ -144,7 +146,7 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# latency {dt*1000:.0f} ms/map (batched x2 serving) | init {init_s:.1f}s | "
+        f"# latency {dt*1000:.0f} ms/map (batched serving) | init {init_s:.1f}s | "
         f"E={ENSEMBLE} steps={STEPS} res={RES} dtype=bf16 | "
         f"baseline 0.12 maps/s = A100 as-shipped estimate "
         f"(optimized-torch band 0.22-0.36 -> {maps_per_sec/0.36:.2f}-"
