@@ -34,8 +34,9 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=0)
     parser.add_argument("--serving_batch", type=int, default=1,
-                        help="(depth) process N same-shape images per fused "
-                             "program for throughput (batched serving).")
+                        help="(depth/normals) process N same-shape images "
+                             "per fused program for throughput (batched "
+                             "serving).")
     parser.add_argument("--limit", type=int, default=0,
                         help="Only process the first N samples (0 = all). "
                              "For smoke-testing the real protocol configs "
@@ -99,8 +100,9 @@ def main(argv=None):
         show_progress_bar=False,
     )
 
-    # batched-serving fast path (depth): group same-shape consecutive samples
-    if args.modality == "depth" and args.serving_batch > 1:
+    # batched-serving fast path (depth/normals): group same-shape
+    # consecutive samples into one fused program
+    if args.modality in ("depth", "normals") and args.serving_batch > 1:
         t0 = time.time()
         pending = []  # (rgb_int, save_to)
 
@@ -112,7 +114,9 @@ def main(argv=None):
                 k: v for k, v in common.items() if k != "show_progress_bar"
             })
             for (_, save_to), out in zip(pending, outs):
-                np.save(save_to, out.depth_np)
+                arr = (out.depth_np if args.modality == "depth"
+                       else out.normals_np)
+                np.save(save_to, arr)
             pending.clear()
 
         for i in range(len(dataset)):
@@ -121,7 +125,10 @@ def main(argv=None):
             rel = sample["rgb_relative_path"]
             base = os.path.basename(rel)
             scene = os.path.dirname(rel).replace(os.sep, "_")
-            pred_name = get_pred_name(base, dataset.name_mode, suffix=".npy")
+            if args.modality == "depth":
+                pred_name = get_pred_name(base, dataset.name_mode, suffix=".npy")
+            else:
+                pred_name = os.path.splitext(base)[0] + "_pred.npy"
             save_to = os.path.join(
                 out_npy, (scene + "_" if scene else "") + pred_name
             )

@@ -90,3 +90,64 @@ class MarigoldNormalsPipeline(BasePipeline):
         return MarigoldNormalsOutput(
             normals_np=normals, normals_img=normals_img, uncertainty=uncert
         )
+
+    def batch_call(
+        self,
+        input_images,
+        denoising_steps: Optional[int] = None,
+        ensemble_size: int = 1,
+        processing_res: Optional[int] = None,
+        match_input_res: bool = True,
+        resample_method: str = "bilinear",
+        batch_size: int = 0,
+        seed: Optional[int] = None,
+        ensemble_kwargs: Optional[Dict] = None,
+    ) -> list:
+        """Throughput-oriented batched serving for same-shape images (the
+        normals eval protocol runs E=10 at 640/768 px over whole test
+        sets): all images' ensemble members share one fused program.
+        Returns a list of MarigoldNormalsOutput."""
+        if denoising_steps is None:
+            denoising_steps = self.default_denoising_steps or 4
+        if processing_res is None:
+            processing_res = self.default_processing_resolution or 768
+        if self.core.lcm is not None:
+            raise ValueError(
+                "LCM checkpoints are not supported for normals prediction"
+            )
+        self._check_inference_step(denoising_steps)
+
+        rgbs = [image_to_array(im) for im in input_images]
+        shapes = {r.shape for r in rgbs}
+        assert len(shapes) == 1, f"images must share one shape, got {shapes}"
+        input_h, input_w = rgbs[0].shape[:2]
+        if processing_res > 0 and max(input_h, input_w) != processing_res:
+            nh, nw = image_util.resize_max_res_shape(
+                input_h, input_w, processing_res
+            )
+            rgbs = [
+                image_util.resize_np(r, (nh, nw), method=resample_method)
+                for r in rgbs
+            ]
+        out_hw = (input_h, input_w) if match_input_res else None
+        preds, uncs = self._infer_fused_batch(
+            np.stack(rgbs),
+            denoising_steps=denoising_steps,
+            ensemble_size=ensemble_size,
+            batch_size=batch_size,
+            seed=seed,
+            out_hw=out_hw,
+            ensemble_kwargs=ensemble_kwargs,
+        )
+        outputs = []
+        for i in range(preds.shape[0]):
+            n = np.clip(preds[i], -1.0, 1.0).astype(np.float32)
+            unc = uncs[i, ..., 0] if uncs is not None else None
+            outputs.append(
+                MarigoldNormalsOutput(
+                    normals_np=n,
+                    normals_img=Image.fromarray(image_util.norm_to_rgb(n)),
+                    uncertainty=unc,
+                )
+            )
+        return outputs

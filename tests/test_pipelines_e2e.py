@@ -203,3 +203,26 @@ def test_uint8_serving_equals_float(depth_ckpt, rng):
         f32, denoising_steps=1, ensemble_size=2, seed=7, out_hw=(40, 48)
     )
     np.testing.assert_allclose(np.asarray(pu8), np.asarray(pf32), atol=1e-5)
+
+
+def test_normals_batch_call(tmp_path_factory, rng):
+    """Batched serving for normals: unit-norm outputs per image."""
+    from fixtures import make_tiny_checkpoint
+    from marigold_tpu.pipelines.normals import MarigoldNormalsPipeline
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path_factory.mktemp("nck")), mode="normals"
+    )
+    pipe = MarigoldNormalsPipeline.from_pretrained(ckpt)
+    imgs = [rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+            for _ in range(2)]
+    outs = pipe.batch_call(
+        imgs, denoising_steps=1, ensemble_size=2, processing_res=32, seed=3
+    )
+    assert len(outs) == 2
+    for o in outs:
+        assert o.normals_np.shape == (40, 48, 3)
+        norms = np.linalg.norm(o.normals_np, axis=-1)
+        assert np.isfinite(norms).all()
+        np.testing.assert_allclose(norms, 1.0, atol=2e-2)
+        assert o.uncertainty.shape == (40, 48)
