@@ -173,3 +173,69 @@ class MarigoldIIDPipeline(BasePipeline):
             )
         assert output.is_complete
         return output
+
+    def batch_call(
+        self,
+        input_images,
+        denoising_steps: Optional[int] = None,
+        ensemble_size: int = 1,
+        processing_res: Optional[int] = None,
+        match_input_res: bool = True,
+        resample_method: str = "bilinear",
+        batch_size: int = 0,
+        seed: Optional[int] = None,
+        ensemble_kwargs: Optional[Dict] = None,
+    ) -> list:
+        """Batched serving for same-shape images (the IID protocol runs
+        ensemble_size=1, so sharing the denoise batch across images is the
+        only batching axis). Returns a list of MarigoldIIDOutput."""
+        if denoising_steps is None:
+            denoising_steps = self.default_denoising_steps or 4
+        if processing_res is None:
+            processing_res = self.default_processing_resolution or 768
+        if self.core.lcm is not None:
+            raise ValueError(
+                "LCM checkpoints are not supported for IID prediction"
+            )
+        self._check_inference_step(denoising_steps)
+
+        rgbs = [image_to_array(im) for im in input_images]
+        shapes = {r.shape for r in rgbs}
+        assert len(shapes) == 1, f"images must share one shape, got {shapes}"
+        input_h, input_w = rgbs[0].shape[:2]
+        if processing_res > 0 and max(input_h, input_w) != processing_res:
+            nh, nw = image_util.resize_max_res_shape(
+                input_h, input_w, processing_res
+            )
+            rgbs = [
+                image_util.resize_np(r, (nh, nw), method=resample_method)
+                for r in rgbs
+            ]
+        out_hw = (input_h, input_w) if match_input_res else None
+        preds, uncs = self._infer_fused_batch(
+            np.stack(rgbs),
+            denoising_steps=denoising_steps,
+            ensemble_size=ensemble_size,
+            batch_size=batch_size,
+            seed=seed,
+            out_hw=out_hw,
+            ensemble_kwargs=ensemble_kwargs,
+        )  # [NI,h,w,3n]
+        outputs = []
+        for b in range(preds.shape[0]):
+            output = MarigoldIIDOutput(target_names=self.target_names)
+            for i, name in enumerate(self.target_names):
+                sl = slice(i * 3, i * 3 + 3)
+                output.fill_entry(
+                    name=name,
+                    prediction=image_util.hwc2chw(preds[b, ..., sl]),
+                    uncertainty=(
+                        image_util.hwc2chw(uncs[b, ..., sl])
+                        if uncs is not None
+                        else None
+                    ),
+                    target_properties=self.target_properties,
+                )
+            assert output.is_complete
+            outputs.append(output)
+        return outputs

@@ -226,3 +226,24 @@ def test_normals_batch_call(tmp_path_factory, rng):
         assert np.isfinite(norms).all()
         np.testing.assert_allclose(norms, 1.0, atol=2e-2)
         assert o.uncertainty.shape == (40, 48)
+
+
+def test_iid_batch_call(tmp_path_factory, rng):
+    from fixtures import make_tiny_checkpoint
+    from marigold_tpu.pipelines.iid import MarigoldIIDPipeline
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path_factory.mktemp("ick")), mode="iid", n_targets=2
+    )
+    pipe = MarigoldIIDPipeline.from_pretrained(ckpt)
+    imgs = [rng.uniform(0, 1, (40, 48, 3)).astype(np.float32)
+            for _ in range(2)]
+    outs = pipe.batch_call(
+        imgs, denoising_steps=1, ensemble_size=1, processing_res=32, seed=3
+    )
+    assert len(outs) == 2
+    for out in outs:
+        assert out.is_complete
+        for entry in out:
+            assert entry.array.shape == (3, 40, 48)  # CHW like reference
+            assert np.isfinite(entry.array).all()
