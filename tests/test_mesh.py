@@ -152,3 +152,31 @@ def test_train_step_gradients_match_across_device_counts(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+def test_spatial_sharded_attention_matches_single_device(rng):
+    """Token-sharded attention over 8 devices must equal unsharded
+    attention — the >1k-res long-context path (no reference counterpart)."""
+    from marigold_tpu.ops.attention import xla_attention
+    from marigold_tpu.ops.sharded_attention import spatial_sharded_attention
+
+    b, n, c, heads = 2, 1024, 64, 4
+    q = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+
+    ref = np.asarray(xla_attention(q, k, v, heads))
+    mesh = get_mesh(8)
+    out = np.asarray(
+        spatial_sharded_attention(q, k, v, heads, mesh, use_flash=False)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_sharded_attention_rejects_indivisible(rng):
+    from marigold_tpu.ops.sharded_attention import spatial_sharded_attention
+
+    q = jnp.zeros((1, 100, 16), jnp.float32)  # 100 % 8 != 0
+    mesh = get_mesh(8)
+    with pytest.raises(ValueError, match="must divide"):
+        spatial_sharded_attention(q, q, q, 2, mesh, use_flash=False)
