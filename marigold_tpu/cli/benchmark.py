@@ -112,7 +112,7 @@ def main(argv=None):
     defaults = dict(DEFAULTS[args.modality])
     if args.old_protocol and args.modality == "depth":
         defaults["denoise_steps"] = 50
-    for k in ("ensemble_size", "denoise_steps", "seed", "processing_res"):
+    for k in ("ensemble_size", "denoise_steps", "seed"):
         if getattr(args, k) is not None:
             defaults[k] = getattr(args, k)
 

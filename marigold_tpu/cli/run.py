@@ -101,6 +101,10 @@ def main(argv=None):
         batch_size=args.batch_size,
         seed=args.seed,
         show_progress_bar=True,
+        # in-the-wild folders mix image shapes; bucket padding (masked out
+        # of ensemble statistics) bounds compiles to one program per 64-px
+        # bucket instead of one per unique shape
+        shape_bucketing=True,
     )
 
     for path in rgb_paths:

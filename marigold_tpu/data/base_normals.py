@@ -38,8 +38,11 @@ def _gaussian_blur(img: np.ndarray, sigma: float, kernel_size: int = 33) -> np.n
         from scipy.ndimage import gaussian_filter
 
         trunc = ((kernel_size - 1) / 2) / max(sigma, 1e-6)
+        # mode='nearest' = cv2 BORDER_REPLICATE: both code paths share the
+        # same boundary behavior
         return gaussian_filter(
-            img.astype(np.float32), (sigma, sigma, 0), truncate=trunc
+            img.astype(np.float32), (sigma, sigma, 0), truncate=trunc,
+            mode="nearest",
         )
 
 
@@ -110,7 +113,8 @@ def _color_jitter(rgb01: np.ndarray, brightness, contrast, saturation, hue,
                 ) / 255.0
             except ImportError:
                 hsv = np.asarray(Image.fromarray(u8).convert("HSV"), np.float32)
-                hsv[..., 0] = (hsv[..., 0] + shift * 255.0) % 255.0
+                # mod 256: same hue circle as the cv2 HSV_FULL path
+                hsv[..., 0] = (hsv[..., 0] + round(shift * 255.0)) % 256.0
                 out = (
                     np.asarray(
                         Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB"),
@@ -232,7 +236,7 @@ class BaseNormalsDataset:
                 n[..., 0] *= -1
                 rasters["normals"] = n
 
-        rgb_f = np.ascontiguousarray(rasters["rgb_int"]).astype(np.float32)
+        rgb_f = rasters["rgb_int"].astype(np.float32)  # one copy; handles views
         is_hypersim_res = rgb_f.shape[0] == 768
         if random.random() < a.get("gaussian_blur_p", 0) and is_hypersim_res:
             sigma = random.uniform(0.0, a.get("gaussian_blur_sigma", 2.0))

@@ -19,7 +19,14 @@ import numpy as np
 _WORKER_DATASET_COLLATE = None  # set before fork; inherited by workers
 
 
-def _assemble_batch_worker(batch_idx):
+def _assemble_batch_worker(args):
+    batch_idx, seed = args
+    # deterministic augmentations: forked children are reseeded from OS
+    # entropy by CPython's at-fork hook, so restore a per-batch seed
+    # derived from the loader's rng (the torch-DataLoader worker-seeding
+    # role)
+    random.seed(seed)
+    np.random.seed(seed % (2**32))
     dataset, collate_fn = _WORKER_DATASET_COLLATE
     return collate_fn([dataset[i] for i in batch_idx])
 
@@ -127,14 +134,39 @@ class DataLoader:
                 return
 
     def _iter_workers(self, batch_lists):
-        """Forked worker pool assembling whole batches; imap preserves
-        order (the reference's worker semantics), pool size bounds live
-        prefetch."""
+        """Forked worker pool assembling whole batches in order, with a
+        bounded submission window (num_workers + prefetch outstanding) so
+        finished batches cannot pile up in host RAM when the consumer
+        pauses (e.g. during a multi-minute validation pass).
+
+        Each batch carries a seed drawn from the loader's rng, restored in
+        the worker before assembly, so seeded runs reproduce their
+        augmentations (forked children are otherwise reseeded from OS
+        entropy). Caveat (shared with torch's fork-based workers): fork
+        after accelerator-runtime initialization can inherit locks held by
+        runtime threads; the training CLI iterates the loader only from
+        the host thread between device steps, which is the supported
+        pattern."""
+        import itertools
         import multiprocessing as mp
+        from collections import deque
 
         ctx = mp.get_context("fork")
+        seeds = [self.rng.randrange(2**31) for _ in batch_lists]
         global _WORKER_DATASET_COLLATE
         _WORKER_DATASET_COLLATE = (self.dataset, self.collate_fn)
+        window = self.num_workers + max(self.prefetch, 1)
         with ctx.Pool(self.num_workers) as pool:
-            for batch in pool.imap(_assemble_batch_worker, batch_lists):
+            work = iter(zip(batch_lists, seeds))
+            pending = deque(
+                pool.apply_async(_assemble_batch_worker, (a,))
+                for a in itertools.islice(work, window)
+            )
+            while pending:
+                batch = pending.popleft().get()
+                nxt = next(work, None)
+                if nxt is not None:
+                    pending.append(
+                        pool.apply_async(_assemble_batch_worker, (nxt,))
+                    )
                 yield batch

@@ -25,7 +25,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -52,7 +51,23 @@ def spatial_sharded_attention(
     if n % n_dev:
         raise ValueError(f"token count {n} must divide mesh size {n_dev}")
 
+    runner = _get_runner(mesh, axis_name, num_heads, use_flash)
+    with mesh:
+        return runner(q, k, v)
+
+
+_RUNNER_CACHE: dict = {}
+
+
+def _get_runner(mesh, axis_name, num_heads, use_flash):
+    """One jitted program per (mesh, heads, impl) — NOT per call; shapes
+    are handled by jit's own cache."""
+    key = (mesh, axis_name, num_heads, use_flash)
+    if key in _RUNNER_CACHE:
+        return _RUNNER_CACHE[key]
+
     def local_attn(q_shard, k_full, v_full):
+        b, _, c = q_shard.shape
         # q_shard: [B, N/n_dev, C]; k/v_full: [B, N, C] (replicated)
         if use_flash:
             from marigold_tpu.ops.flash_attention import flash_attention_dt
@@ -98,5 +113,5 @@ def spatial_sharded_attention(
         )(q, k, v)
         return out
 
-    with mesh:
-        return run(q, k, v)
+    _RUNNER_CACHE[key] = run
+    return run

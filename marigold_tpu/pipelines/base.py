@@ -648,18 +648,26 @@ class BasePipeline:
         seed: Optional[int] = None,
         out_hw: Optional[tuple] = None,  # resize-back target (input res)
         ensemble_kwargs: Optional[dict] = None,
+        shape_bucketing: bool = False,
     ):
-        """Single-dispatch fused inference with SHAPE BUCKETING: the
-        processed image is edge-padded up to a 64-px bucket grid, so
-        mixed-resolution folder inference (processing_res=0) compiles at
-        most one program per bucket instead of one per unique image shape
-        (remote compiles cost minutes each on this stack). A validity mask
-        keeps the padding out of the ensemble statistics; crop-back and the
-        resize to the original resolution happen on host (torch-exact
-        bilinear). Returns (pred [h,w,C] float32, uncertainty [h,w,C] or
+        """Single-dispatch fused inference. Inputs edge-pad to the VAE's /8
+        grid (minimal padding — the eval-protocol behavior); a validity
+        mask keeps any padding out of the ensemble statistics, and
+        crop-back + resize to the original resolution happen on host
+        (torch-exact bilinear).
+
+        shape_bucketing=True pads to a 64-px grid instead, so
+        mixed-resolution folder inference (cli/run.py at processing_res=0)
+        compiles at most one program per bucket rather than one per unique
+        image shape (remote compiles cost minutes each on this stack).
+        OFF for protocol runs: bucket padding adds up to 63 px of
+        replicated content that feeds global self-attention and the VAE —
+        protocol datasets are uniform-shaped and compile one program
+        regardless. Returns (pred [h,w,C] float32, uncertainty [h,w,C] or
         None)."""
         core = self.core
-        bucket = max(64, core.vae_cfg.downscale_factor)
+        ds = core.vae_cfg.downscale_factor
+        bucket = max(64, ds) if shape_bucketing else ds
         x, h0, w0 = pad_to_multiple_of(rgb_norm[None], bucket)
         hp, wp = x.shape[1], x.shape[2]
         mask = np.zeros((1, hp, wp, 1), bool)
@@ -707,6 +715,52 @@ class BasePipeline:
     def _check_inference_step(self, n_step: int) -> None:
         for msg in check_trailing_zero_snr(self.core.schedule, n_step):
             logger.warning(msg)
+
+    def _batch_infer(
+        self,
+        input_images,
+        denoising_steps: Optional[int],
+        ensemble_size: int,
+        processing_res: Optional[int],
+        match_input_res: bool,
+        resample_method: str,
+        batch_size: int,
+        seed: Optional[int],
+        ensemble_kwargs: Optional[dict],
+        default_steps: int = 4,
+    ):
+        """Shared batched-serving front half: defaults, step check, same-
+        shape validation, processing-res resize, fused batch dispatch.
+        Returns (preds [NI,h,w,C], uncs [NI,h,w,C] or None). Modality
+        batch_call wrappers only build their output containers."""
+        if denoising_steps is None:
+            denoising_steps = self.default_denoising_steps or default_steps
+        if processing_res is None:
+            processing_res = self.default_processing_resolution or 768
+        self._check_inference_step(denoising_steps)
+
+        rgbs = [image_to_array(im) for im in input_images]
+        shapes = {r.shape for r in rgbs}
+        assert len(shapes) == 1, f"images must share one shape, got {shapes}"
+        input_h, input_w = rgbs[0].shape[:2]
+        if processing_res > 0 and max(input_h, input_w) != processing_res:
+            nh, nw = image_util.resize_max_res_shape(
+                input_h, input_w, processing_res
+            )
+            rgbs = [
+                image_util.resize_np(r, (nh, nw), method=resample_method)
+                for r in rgbs
+            ]
+        out_hw = (input_h, input_w) if match_input_res else None
+        return self._infer_fused_batch(
+            np.stack(rgbs),
+            denoising_steps=denoising_steps,
+            ensemble_size=ensemble_size,
+            batch_size=batch_size,
+            seed=seed,
+            out_hw=out_hw,
+            ensemble_kwargs=ensemble_kwargs,
+        )
 
     def _infer_fused_batch(
         self,

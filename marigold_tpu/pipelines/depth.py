@@ -54,6 +54,7 @@ class MarigoldDepthPipeline(BasePipeline):
         color_map: Optional[str] = "Spectral",
         show_progress_bar: bool = True,
         ensemble_kwargs: Optional[Dict] = None,
+        shape_bucketing: bool = False,
     ) -> MarigoldDepthOutput:
         if denoising_steps is None:
             denoising_steps = self.default_denoising_steps or 1
@@ -93,6 +94,7 @@ class MarigoldDepthPipeline(BasePipeline):
             seed=seed,
             out_hw=out_hw,
             ensemble_kwargs=ensemble_kwargs,
+            shape_bucketing=shape_bucketing,
         )
         if pred_uncert is not None:
             pred_uncert = pred_uncert[..., 0]
@@ -130,39 +132,16 @@ class MarigoldDepthPipeline(BasePipeline):
         counterpart — the reference serves images one by one). Images must
         share the same input resolution. Returns a list of
         MarigoldDepthOutput."""
-        if denoising_steps is None:
-            denoising_steps = self.default_denoising_steps or 1
-        if processing_res is None:
-            processing_res = self.default_processing_resolution or 768
         if self.core.lcm is not None:
             logger.warning(
                 "LCM checkpoint detected: the LCM depth checkpoint is "
                 "deprecated; consider marigold-depth-v1-1 (reference "
                 "deprecation, marigold_depth_pipeline.py:368-377)"
             )
-        self._check_inference_step(denoising_steps)
-
-        rgbs = [image_to_array(im) for im in input_images]
-        shapes = {r.shape for r in rgbs}
-        assert len(shapes) == 1, f"images must share one shape, got {shapes}"
-        input_h, input_w = rgbs[0].shape[:2]
-        if processing_res > 0 and max(input_h, input_w) != processing_res:
-            nh, nw = image_util.resize_max_res_shape(
-                input_h, input_w, processing_res
-            )
-            rgbs = [
-                image_util.resize_np(r, (nh, nw), method=resample_method)
-                for r in rgbs
-            ]
-        out_hw = (input_h, input_w) if match_input_res else None
-        preds, uncs = self._infer_fused_batch(
-            np.stack(rgbs),
-            denoising_steps=denoising_steps,
-            ensemble_size=ensemble_size,
-            batch_size=batch_size,
-            seed=seed,
-            out_hw=out_hw,
-            ensemble_kwargs=ensemble_kwargs,
+        preds, uncs = self._batch_infer(
+            input_images, denoising_steps, ensemble_size, processing_res,
+            match_input_res, resample_method, batch_size, seed,
+            ensemble_kwargs, default_steps=1,
         )
         outputs = []
         for i in range(preds.shape[0]):

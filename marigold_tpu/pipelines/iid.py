@@ -125,6 +125,7 @@ class MarigoldIIDPipeline(BasePipeline):
         seed: Optional[int] = None,
         show_progress_bar: bool = True,
         ensemble_kwargs: Optional[Dict] = None,
+        shape_bucketing: bool = False,
     ) -> MarigoldIIDOutput:
         if denoising_steps is None:
             denoising_steps = self.default_denoising_steps or 4
@@ -156,6 +157,7 @@ class MarigoldIIDPipeline(BasePipeline):
             seed=seed,
             out_hw=out_hw,
             ensemble_kwargs=ensemble_kwargs,
+            shape_bucketing=shape_bucketing,
         )  # pred [h,w,3n]; uncert [h,w,3n] (per-channel MAD) or None
 
         output = MarigoldIIDOutput(target_names=self.target_names)
@@ -189,37 +191,14 @@ class MarigoldIIDPipeline(BasePipeline):
         """Batched serving for same-shape images (the IID protocol runs
         ensemble_size=1, so sharing the denoise batch across images is the
         only batching axis). Returns a list of MarigoldIIDOutput."""
-        if denoising_steps is None:
-            denoising_steps = self.default_denoising_steps or 4
-        if processing_res is None:
-            processing_res = self.default_processing_resolution or 768
         if self.core.lcm is not None:
             raise ValueError(
                 "LCM checkpoints are not supported for IID prediction"
             )
-        self._check_inference_step(denoising_steps)
-
-        rgbs = [image_to_array(im) for im in input_images]
-        shapes = {r.shape for r in rgbs}
-        assert len(shapes) == 1, f"images must share one shape, got {shapes}"
-        input_h, input_w = rgbs[0].shape[:2]
-        if processing_res > 0 and max(input_h, input_w) != processing_res:
-            nh, nw = image_util.resize_max_res_shape(
-                input_h, input_w, processing_res
-            )
-            rgbs = [
-                image_util.resize_np(r, (nh, nw), method=resample_method)
-                for r in rgbs
-            ]
-        out_hw = (input_h, input_w) if match_input_res else None
-        preds, uncs = self._infer_fused_batch(
-            np.stack(rgbs),
-            denoising_steps=denoising_steps,
-            ensemble_size=ensemble_size,
-            batch_size=batch_size,
-            seed=seed,
-            out_hw=out_hw,
-            ensemble_kwargs=ensemble_kwargs,
+        preds, uncs = self._batch_infer(
+            input_images, denoising_steps, ensemble_size, processing_res,
+            match_input_res, resample_method, batch_size, seed,
+            ensemble_kwargs,
         )  # [NI,h,w,3n]
         outputs = []
         for b in range(preds.shape[0]):

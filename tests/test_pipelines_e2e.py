@@ -173,7 +173,7 @@ def test_shape_bucketing_bounds_compiles(depth_ckpt, rng):
         out = pipe(
             img, denoising_steps=1, ensemble_size=2, processing_res=0,
             match_input_res=True, seed=1, color_map=None,
-            show_progress_bar=False,
+            show_progress_bar=False, shape_bucketing=True,
         )
         assert out.depth_np.shape == (h, w)
         assert np.isfinite(out.depth_np).all()
