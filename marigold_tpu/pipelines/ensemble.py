@@ -203,9 +203,18 @@ def ensemble_depth(
             n_px = flat_stats.shape[1]
             gram = flat_stats @ flat_stats.T / n_px  # [E,E]
             mean_d = jnp.mean(flat_stats, axis=1)  # [E]
-        reg_small = _downsample_nearest_max_res(small, 256)
+        # The regularizer is the expensive term on device: every cost eval
+        # median-reduces real maps (and its VJP scatters through the sort),
+        # where the pairwise term runs in microseconds on the Gram stats.
+        # Measured at E=10/768px on v5e: one value+grad of the reg term is
+        # 31 ms on a 256px map vs 4 ms at 96px, and the solver was ~98% reg
+        # evals (175 of 178 ms). A 96px range estimate is plenty for a
+        # 0.02-strength nudge whose only structural role — stopping the
+        # scale-degenerate collapse — the member-0 anchor already removes;
+        # metric neutrality is measured in tests/test_ensemble_oracle.py.
+        reg_small = _downsample_nearest_max_res(small, 96)
         reg_mask = (
-            _downsample_nearest_max_res(m_small, 256) > 0
+            _downsample_nearest_max_res(m_small, 96) > 0
             if m_small is not None else None
         )
 

@@ -96,32 +96,51 @@ class MarigoldTrainerBase:
             lambda x: x.astype(jnp.float32), self.core.unet_params
         )
         self.state = create_train_state(unet_params_f32, self.optimizer)
+        self.state_shardings = None
         if mesh is not None:
-            # data-parallel training: params/opt replicated, per-step batch
+            # data-parallel training: params replicated, per-step batch
             # sharded along the leading dim; XLA inserts the psum gradient
             # all-reduce from the sharding annotations (SURVEY.md §2.6)
             from marigold_tpu.parallel.mesh import replicate
 
-            self.state = replicate(mesh, self.state)
+            if bool(opt_cfg.get("shard_states", False)):
+                # ZeRO-1: shard Adam m/v + accumulator over the mesh so
+                # reference-parity Adam fits at SD2 scale (>=2 chips);
+                # see train_step.zero1_state_shardings
+                from marigold_tpu.train.train_step import zero1_state_shardings
+
+                self.state_shardings = zero1_state_shardings(mesh, self.state)
+                self.state = jax.device_put(self.state, self.state_shardings)
+            else:
+                self.state = replicate(mesh, self.state)
             self.core.vae_params = replicate(mesh, self.core.vae_params)
 
         mrn = cfg.get("multi_res_noise")
         # donate the state: at SD2 scale the fp32 Adam(+accum) state is
         # ~14 GB — without donation the update transiently holds old+new
         # copies and OOMs a 16 GB chip
+        _step_fn = make_train_step(
+            self.core.unet_cfg,
+            self.core.vae_cfg,
+            self.core.schedule,
+            self.optimizer,
+            loss_name=cfg.loss.name,
+            multi_res_noise_cfg=dict(mrn) if mrn else None,
+            use_mask=cfg.get("gt_mask_type") is not None,
+            compute_dtype=self.core.dtype,
+            remat=bool(cfg.trainer.get("remat", False)),
+        )
+        jit_kwargs = {}
+        if self.state_shardings is not None:
+            # pin the output state to the ZeRO-1 layout (metrics replicated)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            jit_kwargs["out_shardings"] = (
+                self.state_shardings,
+                NamedSharding(mesh, P()),
+            )
         self.train_step = jax.jit(
-            make_train_step(
-                self.core.unet_cfg,
-                self.core.vae_cfg,
-                self.core.schedule,
-                self.optimizer,
-                loss_name=cfg.loss.name,
-                multi_res_noise_cfg=dict(mrn) if mrn else None,
-                use_mask=cfg.get("gt_mask_type") is not None,
-                compute_dtype=self.core.dtype,
-                remat=bool(cfg.trainer.get("remat", False)),
-            ),
-            donate_argnums=(0,),
+            _step_fn, donate_argnums=(0,), **jit_kwargs
         )
 
         # trainer state (reference naming)
@@ -385,6 +404,14 @@ class MarigoldTrainerBase:
             params=params,
             opt_state=opt_state if opt_state is not None else self.optimizer.init(params),
         )
+        if self.mesh is not None:
+            # restore the mesh layout (replicated, or ZeRO-1 if sharded)
+            if self.state_shardings is not None:
+                self.state = jax.device_put(self.state, self.state_shardings)
+            else:
+                from marigold_tpu.parallel.mesh import replicate
+
+                self.state = replicate(self.mesh, self.state)
         if load_trainer_state:
             self.effective_iter = trainer_state["effective_iter"]
             self.epoch = trainer_state["epoch"]
