@@ -100,10 +100,12 @@ def main():
     # at <=20 rows). Inputs upload as uint8 and normalize on device — 4x
     # less host->device traffic, which was the steady-state pipeline
     # bubble.
-    # NI=2 (20-row denoise batch) is the default: NI=4 measured marginally
-    # faster (0.613 vs 0.610 maps/s) but sits at the HBM edge and OOMs
-    # nondeterministically depending on allocation order
-    NI = int(os.environ.get("MARIGOLD_BENCH_NI", "2"))
+    # NI=4 (40-row denoise batch): r2's nondeterministic OOM at NI=4 was
+    # the VAE mid-attention's [20,9216,9216] fp32 logits transient
+    # (~6.8 GB); with that attention on the K-blocked flash kernel the
+    # transient is gone and NI=4 is stable and ~4% faster than NI=2
+    # (0.757 vs 0.729 maps/s, repeated runs)
+    NI = int(os.environ.get("MARIGOLD_BENCH_NI", "4"))
     imgs = [img] + [
         rng.integers(0, 255, (RES, RES, 3), dtype=np.uint8)
         for _ in range(NI - 1)

@@ -179,7 +179,14 @@ def _attn(p, x, groups):
     q = L.linear(p["to_q"], xn)
     k = L.linear(p["to_k"], xn)
     v = L.linear(p["to_v"], xn)
-    o = L.attention(q, k, v, num_heads=1)
+    # dispatch: on TPU at >=1024 tokens this takes the K-blocked flash
+    # kernel — the single 512-wide head at 768px (9216 tokens) otherwise
+    # materializes a [B,9216,9216] fp32 logits transient (6.8 GB at the
+    # serving decode batch), which was the HBM spike that made larger
+    # serving configurations OOM
+    from marigold_tpu.ops.attention import scaled_dot_product_attention
+
+    o = scaled_dot_product_attention(q, k, v, num_heads=1)
     o = L.linear(p["to_out"]["0"], o).reshape(b, h, w, c)
     return res + o
 

@@ -17,6 +17,11 @@ import jax.numpy as jnp
 
 _FLASH_MIN_SEQ = 1024
 _DISABLE_FLASH = os.environ.get("MARIGOLD_TPU_DISABLE_FLASH", "0") == "1"
+# "shifted" (default): per-row precomputed softmax shift, ~23% faster at
+# the level-0 serving shape; exact whenever the per-row logit landscape
+# has no >40-logit spike hiding between every-72nd-column samples (see
+# ops/flash_attention.py module comment). "online": classic running-max.
+_FLASH_SOFTMAX = os.environ.get("MARIGOLD_TPU_FLASH_SOFTMAX", "shifted")
 
 
 def _on_tpu() -> bool:
@@ -63,9 +68,17 @@ def scaled_dot_product_attention(
     b, nq, c = q.shape
     nk = k.shape[1]
     if mask is None and use_flash(nq, nk):
-        from marigold_tpu.ops.flash_attention import flash_attention_dt
+        from marigold_tpu.ops.flash_attention import (
+            _KV_RESIDENT_BYTES,
+            flash_attention_dt,
+        )
 
         hd = c // num_heads
+        kv_bytes = 2 * hd * ((nk + 127) // 128 * 128) * q.dtype.itemsize
+        if _FLASH_SOFTMAX == "online" and kv_bytes > _KV_RESIDENT_BYTES:
+            # only the shifted kernel has the K-blocked variant; wide
+            # heads (VAE mid, d=512) don't fit full K/V rows in VMEM
+            return xla_attention(q, k, v, num_heads, mask)
         # [B,N,C] -> [B*H, hd, N]: the transposed layout keeps the head
         # dim (64 in SD2) in sublanes so the kernel contracts no zero
         # padding — ~31% faster than the [N, 128-padded-hd] layout at the
@@ -78,7 +91,10 @@ def scaled_dot_product_attention(
                 .reshape(b * num_heads, hd, n)
             )
 
-        out_t = flash_attention_dt(fold_t(q, nq), fold_t(k, nk), fold_t(v, nk))
+        out_t = flash_attention_dt(
+            fold_t(q, nq), fold_t(k, nk), fold_t(v, nk),
+            softmax=_FLASH_SOFTMAX,
+        )
         return (
             out_t.reshape(b, num_heads, hd, nq)
             .transpose(0, 3, 1, 2)

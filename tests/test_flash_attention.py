@@ -127,6 +127,10 @@ def test_flash_dt_matches_reference(bh, n, d, rng):
 
 
 def test_flash_dt_extreme_logits_stable(rng):
+    """Logits in the thousands (30x-scaled q AND k): the online-softmax
+    kernel stays exact. (The shifted kernel intentionally trades this
+    regime for speed — it stays finite but degrades; see
+    test_flash_dt_shifted_spiky_k_graceful for its guarantee.)"""
     q = (rng.standard_normal((1, 256, 64)) * 30).astype(np.float32)
     k = (rng.standard_normal((1, 256, 64)) * 30).astype(np.float32)
     v = rng.standard_normal((1, 256, 64)).astype(np.float32)
@@ -135,11 +139,100 @@ def test_flash_dt_extreme_logits_stable(rng):
         return jnp.asarray(x.transpose(0, 2, 1))
 
     out_t = flash_attention_dt(
-        t(q), t(k), t(v), block_q=128, block_k=128, interpret=True
+        t(q), t(k), t(v), block_q=128, block_k=128, interpret=True,
+        softmax="online",
     )
     out = np.asarray(out_t).transpose(0, 2, 1)
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, _ref(q, k, v), atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("bh,n,d", [(2, 256, 64), (1, 300, 64)])
+def test_flash_dt_shifted_matches_online(bh, n, d, rng):
+    """The shifted-softmax kernel (per-row subsampled shift + clamp) must
+    agree with the online-softmax kernel to output precision."""
+    from marigold_tpu.ops.flash_attention import _flash_dt_impl
+
+    qt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    kt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    o_on = np.asarray(_flash_dt_impl(
+        qt, kt, vt, block_q=128, block_k=128, interpret=True,
+        softmax="online"))
+    o_sh = np.asarray(_flash_dt_impl(
+        qt, kt, vt, block_q=128, block_k=128, interpret=True,
+        softmax="shifted"))
+    np.testing.assert_allclose(o_sh, o_on, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_dt_shifted_disparate_row_maxima(rng):
+    """Rows whose logit maxima differ wildly (one query scaled 50x) — the
+    per-ROW shift must keep every row's softmax in fp32 range (a global
+    per-head shift would zero out the weak rows)."""
+    n, d = 384, 64
+    q = rng.standard_normal((1, n, d)).astype(np.float32)
+    q[0, ::7] *= 50.0  # every 7th row has a ~2500x larger logit scale
+    k = rng.standard_normal((1, n, d)).astype(np.float32)
+    v = rng.standard_normal((1, n, d)).astype(np.float32)
+
+    def t(x):
+        return jnp.asarray(x.transpose(0, 2, 1))
+
+    from marigold_tpu.ops.flash_attention import _flash_dt_impl
+
+    out = np.asarray(_flash_dt_impl(
+        t(q), t(k), t(v), block_q=128, block_k=128, interpret=True,
+        softmax="shifted")).transpose(0, 2, 1)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, _ref(q, k, v), atol=5e-3, rtol=1e-3)
+
+
+def test_flash_dt_shifted_spiky_k_graceful(rng):
+    """A single K column towering over everything (possibly missed by the
+    column subsample): the clamp must keep the result finite and close to
+    the true attention (which collapses onto the spiky key's value)."""
+    n, d = 512, 64
+    q = rng.standard_normal((1, n, d)).astype(np.float32)
+    k = rng.standard_normal((1, n, d)).astype(np.float32)
+    k[0, 137] *= 200.0  # extreme isolated key
+    v = rng.standard_normal((1, n, d)).astype(np.float32)
+
+    def t(x):
+        return jnp.asarray(x.transpose(0, 2, 1))
+
+    from marigold_tpu.ops.flash_attention import _flash_dt_impl
+
+    out = np.asarray(_flash_dt_impl(
+        t(q), t(k), t(v), block_q=128, block_k=128, interpret=True,
+        softmax="shifted")).transpose(0, 2, 1)
+    assert np.isfinite(out).all()
+    ref = _ref(q, k, v)
+    # rows dominated by the spike must still pick the spiky value
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+
+
+def test_flash_dt_shifted_kblocked_matches(rng, monkeypatch):
+    """The K-blocked variant (wide heads whose K/V rows exceed VMEM — the
+    512-wide VAE mid attention) must match the reference. Forced here by
+    shrinking the residency threshold so a tiny shape takes that path."""
+    import marigold_tpu.ops.flash_attention as F
+
+    monkeypatch.setattr(F, "_KV_RESIDENT_BYTES", 1024)
+    F._flash_dt_impl.clear_cache()
+    try:
+        q = rng.standard_normal((2, 384, 64)).astype(np.float32)
+        k = rng.standard_normal((2, 384, 64)).astype(np.float32)
+        v = rng.standard_normal((2, 384, 64)).astype(np.float32)
+
+        def t(x):
+            return jnp.asarray(x.transpose(0, 2, 1))
+
+        out = np.asarray(F._flash_dt_impl(
+            t(q), t(k), t(v), block_q=128, block_k=128, interpret=True,
+            softmax="shifted")).transpose(0, 2, 1)
+        np.testing.assert_allclose(out, _ref(q, k, v), atol=2e-5, rtol=1e-4)
+    finally:
+        F._flash_dt_impl.clear_cache()
 
 
 def test_dt_dispatch_equivalence(rng):
