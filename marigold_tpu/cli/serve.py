@@ -1,0 +1,231 @@
+"""Persistent batched-serving daemon.
+
+The reference's serving story is a one-shot folder CLI
+(script/depth/run.py); this daemon is the TPU-native production analog:
+a long-lived process that keeps the compiled programs and weights on
+device, watches a directory (or processes it once with --once), groups
+same-shape images into NI-image fused batches (the configuration
+bench.py measures at ~0.75 maps/s/chip), and overlaps host-side
+decode/save with device compute by running up to `max_in_flight`
+batches on a small thread pool (device readback releases the GIL, so
+the next batch's dispatch and the previous batch's PNG/npy writing
+overlap device execution).
+
+Batches are grouped by input image shape, so a mixed-resolution stream
+compiles at most one fused program per (shape, batch-fill); under-full
+groups older than --batch_wait run at their actual size.
+
+Usage:
+  python -m marigold_tpu.cli.serve --checkpoint CKPT --modality depth \
+      --watch_dir IN --output_dir OUT [--once] [--batch_images 4] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import logging
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional
+
+import numpy as np
+
+EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tif", ".tiff")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--modality", type=str, default="depth",
+                   choices=("depth", "normals", "iid"))
+    p.add_argument("--watch_dir", type=str, required=True,
+                   help="Directory to watch for input images")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--batch_images", type=int, default=4,
+                   help="Images per fused batch (NI); the denoise batch is "
+                        "NI*ensemble rows")
+    p.add_argument("--max_in_flight", type=int, default=2,
+                   help="Batches processed concurrently (pipelines host "
+                        "save/readback with device compute)")
+    p.add_argument("--ensemble_size", type=int, default=10)
+    p.add_argument("--denoise_steps", type=int, default=None)
+    p.add_argument("--processing_res", type=int, default=None)
+    p.add_argument("--poll_interval", type=float, default=0.5,
+                   help="Seconds between directory scans")
+    p.add_argument("--batch_wait", type=float, default=2.0,
+                   help="Max seconds to hold an under-full batch before "
+                        "running it at its actual size")
+    p.add_argument("--once", action="store_true",
+                   help="Process everything currently present, then exit")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--color_map", type=str, default="Spectral")
+    p.add_argument("--full_precision", action="store_true")
+    return p
+
+
+def _load_pipeline(args):
+    import jax.numpy as jnp
+
+    from marigold_tpu import (
+        MarigoldDepthPipeline,
+        MarigoldIIDPipeline,
+        MarigoldNormalsPipeline,
+    )
+
+    cls = {
+        "depth": MarigoldDepthPipeline,
+        "normals": MarigoldNormalsPipeline,
+        "iid": MarigoldIIDPipeline,
+    }[args.modality]
+    dtype = jnp.float32 if args.full_precision else jnp.bfloat16
+    return cls.from_pretrained(args.checkpoint, dtype=dtype)
+
+
+def _scan_new(watch_dir: str, seen: set) -> List[str]:
+    out = []
+    try:
+        names = sorted(os.listdir(watch_dir))
+    except FileNotFoundError:
+        return out
+    for name in names:
+        if not name.lower().endswith(EXTENSIONS):
+            continue
+        path = os.path.join(watch_dir, name)
+        if path in seen:
+            continue
+        seen.add(path)
+        out.append(path)
+    return out
+
+
+def save_one(pipe, modality: str, output_dir: str, name: str, out) -> None:
+    """Save one pipeline Output in the same layout as cli/run.py."""
+    from PIL import Image
+
+    from marigold_tpu.pipelines import image_util
+
+    out_npy = os.path.join(output_dir, f"{modality}_npy")
+    os.makedirs(out_npy, exist_ok=True)
+    if modality == "depth":
+        np.save(os.path.join(out_npy, f"{name}_pred.npy"), out.depth_np)
+        bw = Image.fromarray(image_util.float2int(out.depth_np, 16))
+        bw.save(os.path.join(output_dir, f"{name}_depth_bw.png"))
+        if out.depth_colored is not None:
+            out.depth_colored.save(
+                os.path.join(output_dir, f"{name}_depth_colored.png")
+            )
+    elif modality == "normals":
+        np.save(os.path.join(out_npy, f"{name}_pred.npy"), out.normals_np)
+        out.normals_img.save(os.path.join(output_dir, f"{name}_normals.png"))
+    else:
+        for entry in out:
+            np.save(
+                os.path.join(out_npy, f"{name}_{entry.name}_pred.npy"),
+                entry.array,
+            )
+            entry.image.save(
+                os.path.join(output_dir, f"{name}_{entry.name}.png")
+            )
+
+
+def serve(args) -> int:
+    from PIL import Image
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    pipe = _load_pipeline(args)
+
+    seen: set = set()
+    # buckets: input (H, W) -> deque of (path, PIL image, t_enqueued)
+    buckets: dict = collections.defaultdict(collections.deque)
+    n_done = 0
+    failures: list = []
+
+    call_kwargs = dict(
+        denoising_steps=args.denoise_steps,
+        ensemble_size=args.ensemble_size,
+        processing_res=args.processing_res,
+        match_input_res=True,
+        batch_size=args.batch_images * args.ensemble_size,
+        seed=args.seed,
+    )
+    if args.modality == "depth":
+        call_kwargs["color_map"] = (
+            None if args.color_map in (None, "None") else args.color_map
+        )
+
+    def run_batch(group):
+        paths = [g[0] for g in group]
+        images = [g[1] for g in group]
+        try:
+            outs = pipe.batch_call(images, **call_kwargs)
+            for path, out in zip(paths, outs):
+                stem = os.path.splitext(os.path.basename(path))[0]
+                save_one(pipe, args.modality, args.output_dir, stem, out)
+                logging.info(f"done: {stem}")
+            return len(paths)
+        except Exception as e:
+            logging.exception(f"batch failed: {paths}")
+            failures.append(e)
+            return 0
+
+    pool = ThreadPoolExecutor(max_workers=max(1, args.max_in_flight))
+    futures: list = []
+    try:
+        while True:
+            for path in _scan_new(args.watch_dir, seen):
+                try:
+                    im = Image.open(path).convert("RGB")
+                except Exception:
+                    logging.exception(f"failed to read {path}; skipping")
+                    continue
+                buckets[im.size].append((path, im, time.time()))
+
+            dispatched = False
+            now = time.time()
+            for shape in list(buckets):
+                dq = buckets[shape]
+                while len(dq) >= args.batch_images:
+                    futures.append(pool.submit(
+                        run_batch,
+                        [dq.popleft() for _ in range(args.batch_images)],
+                    ))
+                    dispatched = True
+                if dq and (args.once or now - dq[0][2] >= args.batch_wait):
+                    futures.append(pool.submit(
+                        run_batch, [dq.popleft() for _ in range(len(dq))]
+                    ))
+                    dispatched = True
+                if not dq:
+                    del buckets[shape]
+
+            done = [f for f in futures if f.done()]
+            for f in done:
+                n_done += f.result()
+                futures.remove(f)
+
+            if args.once and not buckets and not futures and not dispatched:
+                break
+            if not dispatched:
+                time.sleep(args.poll_interval)
+    finally:
+        for f in futures:
+            n_done += f.result()
+        pool.shutdown(wait=True)
+
+    logging.info(f"served {n_done} images")
+    return 1 if failures else 0
+
+
+def main(argv=None) -> int:
+    from marigold_tpu.cli import apply_platform_env
+
+    apply_platform_env()
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    return serve(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -190,3 +190,38 @@ def test_cli_train_debug(tmp_path, rng):
     # the saved unet is surgered (8 input channels)
     with open(run_dir / "checkpoint" / "latest" / "unet" / "config.json") as f:
         assert json.load(f)["in_channels"] == 8
+
+
+def test_serve_once_depth(depth_ckpt, tmp_path, rng):
+    """The serving daemon in --once mode: mixed-shape inputs are bucketed
+    into same-shape fused batches, processed concurrently, and saved in
+    the run.py output layout."""
+    from marigold_tpu.cli.serve import main as serve_main
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    # two 64x48 images (one full batch) + one 48x64 (its own bucket)
+    for name, (w, h) in [("a", (64, 48)), ("b", (64, 48)), ("c", (48, 64))]:
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(watch / f"{name}.png")
+
+    out_dir = tmp_path / "out"
+    rc = serve_main([
+        "--checkpoint", depth_ckpt,
+        "--modality", "depth",
+        "--watch_dir", str(watch),
+        "--output_dir", str(out_dir),
+        "--batch_images", "2",
+        "--ensemble_size", "2",
+        "--denoise_steps", "1",
+        "--processing_res", "32",
+        "--seed", "7",
+        "--once",
+        "--color_map", "None",
+    ])
+    assert rc == 0
+    for name, (w, h) in [("a", (64, 48)), ("b", (64, 48)), ("c", (48, 64))]:
+        pred = np.load(out_dir / "depth_npy" / f"{name}_pred.npy")
+        assert pred.shape == (h, w)
+        assert np.isfinite(pred).all()
+        assert (out_dir / f"{name}_depth_bw.png").exists()
