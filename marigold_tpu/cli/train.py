@@ -49,6 +49,13 @@ def build_parser():
                              "replicated update.")
     parser.add_argument("--do_not_copy_data", action="store_true",
                         help="(Slurm) do not copy data to local scratch")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Initialize jax.distributed for multi-host "
+                             "training (TPU pod slices / multi-process): "
+                             "chips within a host ride ICI, hosts ride "
+                             "DCN. Combine with --data_parallel. The "
+                             "coordinator is auto-detected from the "
+                             "cluster environment.")
     return parser
 
 
@@ -229,6 +236,11 @@ def main(argv=None):
         pipe.n_targets = len(pipe.target_names)
 
     mesh = None
+    if args.multihost:
+        from marigold_tpu.parallel.mesh import init_distributed
+
+        n_proc = init_distributed()
+        logging.info(f"multihost: {n_proc} process(es)")
     if args.data_parallel:
         import jax
 

@@ -114,3 +114,59 @@ def shard_batch(mesh: Mesh, x, axis_name: str = "data"):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return (n + m - 1) // m * m
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host entry: initialize jax.distributed (single program per
+    host; chips within a host talk over ICI, hosts over DCN).
+
+    With no arguments, relies on the cluster environment (TPU pod
+    metadata / Slurm) for auto-detection, as jax.distributed.initialize
+    does. No-op when already initialized or on a single process where
+    auto-detection finds nothing. Returns jax.process_count().
+
+    Design note (SURVEY.md §2.6): the `data` mesh axis simply spans all
+    global devices — XLA lowers the gradient psum hierarchically
+    (reduce-scatter/all-gather over ICI within a host, then the
+    cross-host hop over DCN), so no topology-aware code is needed here
+    for data parallelism. ZeRO-1 state sharding composes unchanged: each
+    process holds only its addressable shards of the optimizer state.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # already initialized, or single-process with nothing to detect
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_count()
+
+
+def global_batch_from_local(mesh: Mesh, local_batch, axis_name: str = "data"):
+    """Assemble a globally-sharded batch from per-process local data.
+
+    Single-process: identical to shard_batch. Multi-host: each process
+    passes its LOCAL slice of the global batch (global batch size =
+    local size x process_count, concatenated in process order); the
+    returned jax.Arrays are globally addressable for pjit without any
+    host gathering the full batch.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch, axis_name)
+
+    def put(a):
+        sharding = data_parallel_sharding(mesh, a.ndim, axis_name)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(a))
+
+    return jax.tree_util.tree_map(put, local_batch)

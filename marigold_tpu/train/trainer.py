@@ -208,17 +208,23 @@ class MarigoldTrainerBase:
             for batch in loader:
                 batch_dev = self._assemble_batch(batch)
                 if self.mesh is not None:
-                    from marigold_tpu.parallel.mesh import shard_batch
+                    from marigold_tpu.parallel.mesh import (
+                        global_batch_from_local,
+                    )
 
                     n_dev = self.mesh.shape["data"]
-                    lead = next(iter(batch_dev.values())).shape[0]
+                    n_proc = jax.process_count()
+                    lead = next(iter(batch_dev.values())).shape[0] * n_proc
                     if lead % n_dev:
                         raise ValueError(
-                            f"max_train_batch_size ({lead}) must be a "
-                            f"multiple of the mesh size ({n_dev}) for "
-                            "data-parallel training"
+                            f"global batch ({lead}) must be a multiple of "
+                            f"the mesh size ({n_dev}) for data-parallel "
+                            "training"
                         )
-                    batch_dev = shard_batch(self.mesh, batch_dev)
+                    # single-host: shards the batch over local devices;
+                    # multi-host: each process contributes its local slice
+                    # of the global batch (mesh.py:global_batch_from_local)
+                    batch_dev = global_batch_from_local(self.mesh, batch_dev)
                 key = self._step_key()
                 self.state, step_metrics = self.train_step(
                     self.state,
@@ -382,6 +388,18 @@ class MarigoldTrainerBase:
             "step": int(self.state.step),
         }
         opt_state = self.state.opt_state if save_train_state else None
+        if opt_state is not None and jax.process_count() > 1:
+            # multi-host: ZeRO-sharded optimizer state is not fully
+            # addressable on any one process — gather it (collective, all
+            # processes participate) before process 0 writes
+            from jax.experimental import multihost_utils
+
+            opt_state = jax.tree_util.tree_map(
+                lambda x: multihost_utils.process_allgather(x, tiled=True),
+                opt_state,
+            )
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # process 0 writes; others only joined the gather
         params_f32 = jax.tree_util.tree_map(
             lambda x: np.asarray(x, np.float32), self.state.params
         )

@@ -282,3 +282,26 @@ def test_spatial_sharded_attention_rejects_indivisible(rng):
     mesh = get_mesh(8)
     with pytest.raises(ValueError, match="must divide"):
         spatial_sharded_attention(q, q, q, 2, mesh, use_flash=False)
+
+
+def test_global_batch_from_local_single_process():
+    """Single-process, global_batch_from_local == shard_batch; and the
+    multi-host init helper is a safe no-op here."""
+    from marigold_tpu.parallel.mesh import (
+        global_batch_from_local,
+        init_distributed,
+    )
+
+    mesh = get_mesh(8)
+    batch = {"x": np.arange(16 * 3, dtype=np.float32).reshape(16, 3)}
+    out = global_batch_from_local(mesh, batch)
+    assert len(out["x"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+
+    # no cluster env: initialize either auto-detects nothing or raises a
+    # clean error about missing coordination — both acceptable no-ops
+    try:
+        n = init_distributed()
+        assert n == 1
+    except Exception:
+        pass
