@@ -116,13 +116,16 @@ def main():
 
     rgb_stack = _np.stack(imgs)  # uint8 [NI, RES, RES, 3]
 
-    # warmup & compile (same uint8 program the timed loop runs)
+    # warmup & compile (same uint8-in / uint16-out program the timed loop
+    # runs; compact_output reads back 16-bit depth — the precision the
+    # serving outputs carry — for 4x less tunnel traffic)
     pred, unc = pipe._infer_fused_batch(
         rgb_stack, denoising_steps=STEPS, ensemble_size=ENSEMBLE,
         batch_size=NI * ENSEMBLE, seed=1234, out_hw=(RES, RES), sync=True,
+        compact_output=True,
     )
     assert pred.shape[1:3] == (RES, RES)
-    assert np.isfinite(pred).all()
+    assert np.isfinite(pred).all() and 0 <= pred.min() <= pred.max() <= 1
 
     # steady-state throughput: pipeline several in-flight batches (async
     # dispatch); sync + read back everything at the end
@@ -133,10 +136,13 @@ def main():
         pred, unc = pipe._infer_fused_batch(
             rgb_stack, denoising_steps=STEPS, ensemble_size=ENSEMBLE,
             batch_size=NI * ENSEMBLE, seed=1234 + i,
-            out_hw=(RES, RES), sync=False,
+            out_hw=(RES, RES), sync=False, compact_output=True,
         )
         in_flight.append((pred, unc))
-    results = [_np.asarray(_jax.device_get(p)) for p, _ in in_flight]
+    results = [
+        _np.asarray(_jax.device_get(p)).astype(_np.float32) / 65535.0
+        for p, _ in in_flight
+    ]
     assert all(_np.isfinite(r).all() for r in results)
     dt = (time.time() - t0) / n_iter / NI
 

@@ -374,7 +374,8 @@ class DiffusionCore:
 
     def _build_batch_fn(self, num_steps: int, ensemble_size: int, chunk: int,
                         mode: str, n_targets: int, out_hw, crop_hw,
-                        ensemble_opts: tuple, n_images: int):
+                        ensemble_opts: tuple, n_images: int,
+                        compact_output: bool = False):
         """rgb [NI,Hp,Wp,3] + key -> (pred [NI,h,w,C], unc [NI,h,w,C]).
         Throughput-oriented: all images' members share the denoise batch,
         improving MXU utilization over per-image serving."""
@@ -514,19 +515,33 @@ class DiffusionCore:
                         jnp.linalg.norm(pred, axis=-1, keepdims=True),
                         1e-6, None,
                     )
+            if compact_output and mode == "depth":
+                # uint16 readback: depth/uncertainty live in [0,1], and the
+                # serving outputs (16-bit PNG) carry exactly this
+                # precision — 4x less device->host traffic, which matters
+                # on tunneled links (~50 MB/s). Callers divide by 65535.
+                pred = jnp.round(
+                    jnp.clip(pred, 0.0, 1.0) * 65535.0
+                ).astype(jnp.uint16)
+                unc = jnp.round(
+                    jnp.clip(unc, 0.0, 1.0) * 65535.0
+                ).astype(jnp.uint16)
             return pred, unc
 
         return jax.jit(fused)
 
     def get_batch_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
-                     n_targets, out_hw, crop_hw, ensemble_opts, n_images):
+                     n_targets, out_hw, crop_hw, ensemble_opts, n_images,
+                     compact_output=False):
         key = ("batch", hp, wp, num_steps, ensemble_size, chunk, mode,
-               n_targets, out_hw, crop_hw, ensemble_opts, n_images)
+               n_targets, out_hw, crop_hw, ensemble_opts, n_images,
+               compact_output)
         return self._cached_program(
             key,
             lambda: self._build_batch_fn(num_steps, ensemble_size, chunk,
                                          mode, n_targets, out_hw, crop_hw,
-                                         ensemble_opts, n_images),
+                                         ensemble_opts, n_images,
+                                         compact_output),
         )
 
 
@@ -773,11 +788,16 @@ class BasePipeline:
         out_hw: Optional[tuple] = None,
         ensemble_kwargs: Optional[dict] = None,
         sync: bool = True,
+        compact_output: bool = False,
     ):
         """Batched serving: returns (pred [NI,h,w,C], unc [NI,h,w,C] or None).
         With sync=False, returns device arrays without host transfer —
         callers can pipeline several in-flight batches (steady-state
-        serving) and transfer when needed."""
+        serving) and transfer when needed. compact_output (depth only):
+        return uint16 in [0, 65535] — 4x cheaper readback at exactly the
+        16-bit-PNG output precision; with sync=True the conversion back
+        to float happens here, with sync=False the caller divides by
+        65535 after device_get."""
         core = self.core
         x, h0, w0 = pad_to_multiple_of(
             rgb_norm_batch, core.vae_cfg.downscale_factor
@@ -801,9 +821,11 @@ class BasePipeline:
             merged.update(ensemble_kwargs or {})
             opts = tuple(sorted(merged.items()))
 
+        compact = bool(compact_output) and self.mode == "depth"
         fn = core.get_batch_fn(
             hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
             self.n_targets, out_hw, (h0, w0), opts, ni,
+            compact_output=compact,
         )
         key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
         pred, unc = fn(
@@ -813,7 +835,10 @@ class BasePipeline:
         if not sync:
             return pred, (unc if ensemble_size > 1 else None)
         pred_np = np.asarray(jax.device_get(pred)).astype(np.float32)
-        unc_np = np.asarray(jax.device_get(unc))
+        unc_np = np.asarray(jax.device_get(unc)).astype(np.float32)
+        if compact:
+            pred_np /= 65535.0
+            unc_np /= 65535.0
         if ensemble_size <= 1:
             unc_np = None
         return pred_np, unc_np

@@ -247,3 +247,23 @@ def test_iid_batch_call(tmp_path_factory, rng):
         for entry in out:
             assert entry.array.shape == (3, 40, 48)  # CHW like reference
             assert np.isfinite(entry.array).all()
+
+
+def test_depth_compact_output_matches_float(depth_ckpt, rng):
+    """compact_output=True (uint16 device->host readback) must equal the
+    float path to 1/65535 — it is a transport encoding, not a different
+    computation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from marigold_tpu import MarigoldDepthPipeline
+
+    pipe = MarigoldDepthPipeline.from_pretrained(depth_ckpt, dtype=jnp.float32)
+    rgb = rng.integers(0, 255, (2, 40, 48, 3), dtype=np.uint8)
+    kw = dict(denoising_steps=1, ensemble_size=3, batch_size=6, seed=11,
+              out_hw=(40, 48))
+    p_f, u_f = pipe._infer_fused_batch(rgb, **kw)
+    p_c, u_c = pipe._infer_fused_batch(rgb, compact_output=True, **kw)
+    assert p_c.dtype == np.float32
+    np.testing.assert_allclose(p_c, np.clip(p_f, 0, 1), atol=1.01 / 65535)
+    np.testing.assert_allclose(u_c, np.clip(u_f, 0, 1), atol=1.01 / 65535)
