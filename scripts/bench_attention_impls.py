@@ -45,22 +45,27 @@ def main():
 
     impls["ours_pad128"] = jax.jit(ours_call)
 
-    def make_dt(bq, bk):
+    def make_dt(bq, bk, softmax="online"):
         def dt_call(x):
             bh = B * H
             # [B,H,N,D] -> [BH, D, N] (the production wrapper transposes
             # straight from the [B,N,C] projection output)
             xt = x.reshape(bh, N, D).transpose(0, 2, 1)
-            ot = flash_attention_dt(xt, xt, xt, block_q=bq, block_k=bk)
+            ot = flash_attention_dt(
+                xt, xt, xt, block_q=bq, block_k=bk, softmax=softmax
+            )
             return ot.transpose(0, 2, 1).reshape(B, H, N, D)
 
-        dt_call.__name__ = f"dt_q{bq}_k{bk}"
+        dt_call.__name__ = f"dt_q{bq}_k{bk}_{softmax}"
         dt_call.__qualname__ = dt_call.__name__
         return jax.jit(dt_call)
 
     for (bq, bk) in [(512, 512), (1024, 512), (1024, 1024), (2048, 512),
                      (512, 2304), (2304, 512)]:
         impls[f"ours_dt_q{bq}k{bk}"] = make_dt(bq, bk)
+    # shifted softmax (the serving default): no online max / rescale
+    for (bq, bk) in [(2304, 512), (2304, 1024), (4608, 512)]:
+        impls[f"ours_dtS_q{bq}k{bk}"] = make_dt(bq, bk, softmax="shifted")
 
     # warm up (compile) everything
     outs = {}
