@@ -71,10 +71,26 @@ def linear(p, x):
     return y
 
 
-def conv2d(p, x, stride=1, padding=1):
-    """x: [B,H,W,Cin], weight: [Kh,Kw,Cin,Cout] (HWIO)."""
+def conv2d(p, x, stride=1, padding=1, spatial_axis=None):
+    """x: [B,H,W,Cin], weight: [Kh,Kw,Cin,Cout] (HWIO).
+
+    spatial_axis: when set (inside `shard_map` with the H dimension sharded
+    over that mesh axis), 3x3 convs exchange one halo row with each
+    neighbor over ICI (`lax.ppermute`; edge shards receive zeros = the
+    zero padding of the unsharded op) and then convolve without H padding,
+    so the sharded result is bit-identical to the global conv. 1x1 convs
+    are halo-free. Stride-2 3x3 convs pull only the top halo (even local H
+    keeps every shard's sampling grid aligned with the global one)."""
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    kh = p["weight"].shape[0]
+    if spatial_axis is not None and kh == 3:
+        from_prev, from_next = _halo_rows(x, spatial_axis)
+        if stride == 1:
+            x = jnp.concatenate([from_prev, x, from_next], axis=1)
+        else:  # stride 2, kernel 3: windows start at global row -1
+            x = jnp.concatenate([from_prev, x], axis=1)
+        padding = [(0, 0), padding[1]]
     y = jax.lax.conv_general_dilated(
         x,
         p["weight"].astype(x.dtype),
@@ -87,14 +103,31 @@ def conv2d(p, x, stride=1, padding=1):
     return y
 
 
-def group_norm(p, x, num_groups=32, eps=1e-6, act=None):
+def _halo_rows(x, axis_name):
+    """Neighbor boundary rows for H-sharded [B,Hl,W,C]: (last row of the
+    previous shard, first row of the next shard). Edge shards get zeros —
+    `ppermute` leaves targets with no source at zero, which is exactly the
+    global op's zero padding."""
+    n = jax.lax.axis_size(axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    from_prev = jax.lax.ppermute(x[:, -1:], axis_name, fwd)
+    from_next = jax.lax.ppermute(x[:, :1], axis_name, bwd)
+    return from_prev, from_next
+
+
+def group_norm(p, x, num_groups=32, eps=1e-6, act=None, spatial_axis=None):
     """GroupNorm over channel groups. x: [B,H,W,C] (or [B,N,C]).
 
     Precision/bandwidth design: statistics accumulate in fp32 (the
     precision-sensitive part) but the tensor itself stays in its storage
     dtype — no materialized fp32 copy, so HBM traffic for the bf16 path is
     halved vs a naive fp32 upcast. The affine+activation epilogue folds
-    into one fused VPU pass (act='silu' fuses the SD SiLU)."""
+    into one fused VPU pass (act='silu' fuses the SD SiLU).
+
+    spatial_axis: when the H dimension is sharded over that mesh axis
+    (inside shard_map), the statistics are `psum`ed across shards so every
+    device normalizes with the global mean/var."""
     orig_dtype = x.dtype
     shape = x.shape
     c = shape[-1]
@@ -107,6 +140,10 @@ def group_norm(p, x, num_groups=32, eps=1e-6, act=None):
         jnp.square(xg.astype(jnp.float32)), axis=red_axes, keepdims=True,
         dtype=jnp.float32,
     )
+    if spatial_axis is not None:
+        s1 = jax.lax.psum(s1, spatial_axis)
+        s2 = jax.lax.psum(s2, spatial_axis)
+        n_red *= jax.lax.axis_size(spatial_axis)
     mean = s1 / n_red
     var = jnp.maximum(s2 / n_red - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)

@@ -266,22 +266,25 @@ def _up_skip_channels(b: list, up_idx: int, layers_per_block: int) -> list:
 # forward
 
 
-def _resnet(p, x, temb, groups, eps=1e-5):
-    h = L.group_norm(p["norm1"], x, groups, eps=eps, act="silu")
-    h = L.conv2d(p["conv1"], h)
+def _resnet(p, x, temb, groups, eps=1e-5, spatial_axis=None):
+    h = L.group_norm(p["norm1"], x, groups, eps=eps, act="silu",
+                     spatial_axis=spatial_axis)
+    h = L.conv2d(p["conv1"], h, spatial_axis=spatial_axis)
     t = L.linear(p["time_emb_proj"], jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = L.group_norm(p["norm2"], h, groups, eps=eps, act="silu")
-    h = L.conv2d(p["conv2"], h)
+    h = L.group_norm(p["norm2"], h, groups, eps=eps, act="silu",
+                     spatial_axis=spatial_axis)
+    h = L.conv2d(p["conv2"], h, spatial_axis=spatial_axis)
     if "conv_shortcut" in p:
         x = L.conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
 
 
-def _transformer(p, x, ctx, n_heads, groups, use_linear_projection=True):
+def _transformer(p, x, ctx, n_heads, groups, use_linear_projection=True,
+                 spatial_axis=None):
     b, h, w, c = x.shape
     residual = x
-    xn = L.group_norm(p["norm"], x, groups)
+    xn = L.group_norm(p["norm"], x, groups, spatial_axis=spatial_axis)
     xn = xn.reshape(b, h * w, c)
     xn = L.linear(p["proj_in"], xn)
 
@@ -291,7 +294,7 @@ def _transformer(p, x, ctx, n_heads, groups, use_linear_projection=True):
     a1 = blk["attn1"]
     attn_out = scaled_dot_product_attention(
         L.linear(a1["to_q"], y), L.linear(a1["to_k"], y), L.linear(a1["to_v"], y),
-        num_heads=n_heads,
+        num_heads=n_heads, spatial_axis=spatial_axis,
     )
     xn = xn + L.linear(a1["to_out"]["0"], attn_out)
     # cross-attention over text context (length-2 empty-prompt in Marigold)
@@ -319,9 +322,16 @@ def apply(
     sample: jax.Array,
     timesteps: jax.Array,
     encoder_hidden_states: jax.Array,
+    spatial_axis: Optional[str] = None,
 ) -> jax.Array:
     """Denoiser forward. sample: [B,H,W,in_ch]; timesteps: [] or [B];
-    encoder_hidden_states: [B,L,cross_dim]. Returns [B,H,W,out_ch]."""
+    encoder_hidden_states: [B,L,cross_dim]. Returns [B,H,W,out_ch].
+
+    spatial_axis: run H-sharded under `shard_map` over that mesh axis —
+    convs halo-exchange, GroupNorm psums statistics, self-attention
+    all-gathers K/V (see parallel/spatial.py for the jitted wrapper).
+    Requires the global H divisible by 8 * axis size so every level's
+    local H stays even (checked by the wrapper)."""
     g = cfg.norm_num_groups
     b_ch = list(cfg.block_out_channels)
     bsz = sample.shape[0]
@@ -339,31 +349,34 @@ def apply(
     if ctx.shape[0] == 1 and bsz > 1:
         ctx = jnp.broadcast_to(ctx, (bsz,) + ctx.shape[1:])
 
-    h = L.conv2d(params["conv_in"], sample)
+    h = L.conv2d(params["conv_in"], sample, spatial_axis=spatial_axis)
     skips = [h]
 
     for i, bt in enumerate(cfg.down_block_types):
         blk = params["down_blocks"][str(i)]
         has_attn = bt == "CrossAttnDownBlock2D"
         for j in range(cfg.layers_per_block):
-            h = _resnet(blk["resnets"][str(j)], h, temb, g, cfg.norm_eps)
+            h = _resnet(blk["resnets"][str(j)], h, temb, g, cfg.norm_eps,
+                        spatial_axis)
             if has_attn:
                 h = _transformer(
                     blk["attentions"][str(j)], h, ctx,
                     cfg.attention_head_dim[i], g, cfg.use_linear_projection,
+                    spatial_axis,
                 )
             skips.append(h)
         if i < len(b_ch) - 1:
-            h = L.conv2d(blk["downsamplers"]["0"]["conv"], h, stride=2, padding=1)
+            h = L.conv2d(blk["downsamplers"]["0"]["conv"], h, stride=2,
+                         padding=1, spatial_axis=spatial_axis)
             skips.append(h)
 
     mid = params["mid_block"]
-    h = _resnet(mid["resnets"]["0"], h, temb, g, cfg.norm_eps)
+    h = _resnet(mid["resnets"]["0"], h, temb, g, cfg.norm_eps, spatial_axis)
     h = _transformer(
         mid["attentions"]["0"], h, ctx, cfg.attention_head_dim[-1], g,
-        cfg.use_linear_projection,
+        cfg.use_linear_projection, spatial_axis,
     )
-    h = _resnet(mid["resnets"]["1"], h, temb, g, cfg.norm_eps)
+    h = _resnet(mid["resnets"]["1"], h, temb, g, cfg.norm_eps, spatial_axis)
 
     rev_heads = list(reversed(cfg.attention_head_dim))
     for i, bt in enumerate(cfg.up_block_types):
@@ -372,11 +385,12 @@ def apply(
         for j in range(cfg.layers_per_block + 1):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = _resnet(blk["resnets"][str(j)], h, temb, g, cfg.norm_eps)
+            h = _resnet(blk["resnets"][str(j)], h, temb, g, cfg.norm_eps,
+                        spatial_axis)
             if has_attn:
                 h = _transformer(
                     blk["attentions"][str(j)], h, ctx, rev_heads[i], g,
-                    cfg.use_linear_projection,
+                    cfg.use_linear_projection, spatial_axis,
                 )
         if i < len(b_ch) - 1:
             h = L.upsample_nearest_2x(h)
@@ -385,8 +399,14 @@ def apply(
             # to diffusers' F.interpolate(..., size=upsample_size, 'nearest')
             th, tw = skips[-1].shape[1], skips[-1].shape[2]
             if h.shape[1] != th or h.shape[2] != tw:
+                # W-only crop is shard-local; an H crop would need global
+                # coordination, but the wrapper's divisibility check keeps
+                # every sharded level even so it never triggers there.
+                assert spatial_axis is None or h.shape[1] == th
                 h = h[:, :th, :tw, :]
-            h = L.conv2d(blk["upsamplers"]["0"]["conv"], h)
+            h = L.conv2d(blk["upsamplers"]["0"]["conv"], h,
+                         spatial_axis=spatial_axis)
 
-    h = L.group_norm(params["conv_norm_out"], h, g, eps=cfg.norm_eps, act="silu")
-    return L.conv2d(params["conv_out"], h)
+    h = L.group_norm(params["conv_norm_out"], h, g, eps=cfg.norm_eps,
+                     act="silu", spatial_axis=spatial_axis)
+    return L.conv2d(params["conv_out"], h, spatial_axis=spatial_axis)

@@ -63,8 +63,18 @@ def xla_attention(
 def scaled_dot_product_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     mask: Optional[jax.Array] = None,
+    spatial_axis: Optional[str] = None,
 ) -> jax.Array:
-    """Dispatching attention used by the UNet transformer blocks."""
+    """Dispatching attention used by the UNet transformer blocks.
+
+    spatial_axis: token axis sharded over that mesh axis (inside
+    shard_map). K/V are all-gathered once (one O(N*D) ICI collective —
+    tiny next to the O(N^2) score work it unlocks); each shard then runs
+    the local kernel over its query slice. This is the sharded-attention
+    design of ops/sharded_attention.py, fused into the UNet forward."""
+    if spatial_axis is not None:
+        k = jax.lax.all_gather(k, spatial_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, spatial_axis, axis=1, tiled=True)
     b, nq, c = q.shape
     nk = k.shape[1]
     if mask is None and use_flash(nq, nk):

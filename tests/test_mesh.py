@@ -305,3 +305,49 @@ def test_global_batch_from_local_single_process():
         assert n == 1
     except Exception:
         pass
+
+
+def test_spatial_unet_forward_matches_single_device(rng):
+    """The H-sharded UNet forward (halo-exchange convs, psum GroupNorm,
+    gather-KV attention under shard_map) must match the plain forward —
+    the full >1k-res spatial-parallel path, wired through every layer."""
+    from marigold_tpu.models import unet as unet_lib
+    from marigold_tpu.parallel.spatial import spatial_unet_apply
+
+    cfg = unet_lib.UNetConfig(
+        sample_size=64,
+        in_channels=8,
+        out_channels=4,
+        block_out_channels=(32, 32, 32, 32),
+        attention_head_dim=(2, 2, 2, 2),
+        cross_attention_dim=16,
+        norm_num_groups=4,
+    )
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # H=64 = 8 shards x 8 local rows; deepest level 64/8=8 global, 1 local
+    x = jnp.asarray(rng.standard_normal((1, 64, 24, 8)), jnp.float32)
+    t = jnp.asarray(3, jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((1, 2, 16)), jnp.float32)
+
+    ref = np.asarray(unet_lib.apply(params, cfg, x, t, ctx))
+    mesh = get_mesh(8)
+    out = np.asarray(spatial_unet_apply(params, cfg, x, t, ctx, mesh))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_spatial_unet_rejects_indivisible_height(rng):
+    from marigold_tpu.models import unet as unet_lib
+    from marigold_tpu.parallel.spatial import spatial_unet_apply
+
+    cfg = unet_lib.UNetConfig(
+        block_out_channels=(32, 32, 32, 32),
+        attention_head_dim=(2, 2, 2, 2),
+        cross_attention_dim=16,
+        norm_num_groups=4,
+    )
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    x = jnp.zeros((1, 40, 24, 8), jnp.float32)  # 40 % 64 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        spatial_unet_apply(
+            params, cfg, x, jnp.asarray(0), jnp.zeros((1, 2, 16)), get_mesh(8)
+        )
