@@ -161,20 +161,22 @@ def init_params(key, cfg: VAEConfig, dtype=jnp.float32) -> dict:
 # forward
 
 
-def _resnet(p, x, groups):
-    h = L.group_norm(p["norm1"], x, groups, act="silu")
-    h = L.conv2d(p["conv1"], h)
-    h = L.group_norm(p["norm2"], h, groups, act="silu")
-    h = L.conv2d(p["conv2"], h)
+def _resnet(p, x, groups, spatial_axis=None):
+    h = L.group_norm(p["norm1"], x, groups, act="silu",
+                     spatial_axis=spatial_axis)
+    h = L.conv2d(p["conv1"], h, spatial_axis=spatial_axis)
+    h = L.group_norm(p["norm2"], h, groups, act="silu",
+                     spatial_axis=spatial_axis)
+    h = L.conv2d(p["conv2"], h, spatial_axis=spatial_axis)
     if "conv_shortcut" in p:
         x = L.conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
 
 
-def _attn(p, x, groups):
+def _attn(p, x, groups, spatial_axis=None):
     b, h, w, c = x.shape
     res = x
-    xn = L.group_norm(p["group_norm"], x, groups)
+    xn = L.group_norm(p["group_norm"], x, groups, spatial_axis=spatial_axis)
     xn = xn.reshape(b, h * w, c)
     q = L.linear(p["to_q"], xn)
     k = L.linear(p["to_k"], xn)
@@ -186,69 +188,88 @@ def _attn(p, x, groups):
     # serving configurations OOM
     from marigold_tpu.ops.attention import scaled_dot_product_attention
 
-    o = scaled_dot_product_attention(q, k, v, num_heads=1)
+    o = scaled_dot_product_attention(q, k, v, num_heads=1,
+                                     spatial_axis=spatial_axis)
     o = L.linear(p["to_out"]["0"], o).reshape(b, h, w, c)
     return res + o
 
 
-def _mid(p, x, groups):
-    x = _resnet(p["resnets"]["0"], x, groups)
-    x = _attn(p["attentions"]["0"], x, groups)
-    x = _resnet(p["resnets"]["1"], x, groups)
+def _mid(p, x, groups, spatial_axis=None):
+    x = _resnet(p["resnets"]["0"], x, groups, spatial_axis)
+    x = _attn(p["attentions"]["0"], x, groups, spatial_axis)
+    x = _resnet(p["resnets"]["1"], x, groups, spatial_axis)
     return x
 
 
-def encode(params: dict, cfg: VAEConfig, x: jax.Array):
+def encode(params: dict, cfg: VAEConfig, x: jax.Array, spatial_axis=None):
     """x: [B,H,W,3] in [-1,1] -> (mean, logvar) each [B,H/8,W/8,latent].
     Reference path: vae.encoder + quant_conv, posterior mean
-    (marigold_depth_pipeline.py:479-496)."""
+    (marigold_depth_pipeline.py:479-496).
+
+    spatial_axis: H-sharded under shard_map (parallel/spatial.py) — the
+    asymmetric-pad stride-2 downsample pulls its one extra bottom row from
+    the next shard (ppermute zeros at the last shard = the (0,1) pad)."""
     g = cfg.norm_num_groups
     p = params["encoder"]
-    h = L.conv2d(p["conv_in"], x)
+    h = L.conv2d(p["conv_in"], x, spatial_axis=spatial_axis)
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
         blk = p["down_blocks"][str(i)]
         for j in range(cfg.layers_per_block):
-            h = _resnet(blk["resnets"][str(j)], h, g)
+            h = _resnet(blk["resnets"][str(j)], h, g, spatial_axis)
         if i < n_blocks - 1:
             # diffusers VAE Downsample2D: asymmetric (0,1) pad + VALID stride-2
-            h = jnp.pad(h, [(0, 0), (0, 1), (0, 1), (0, 0)])
+            if spatial_axis is None:
+                h = jnp.pad(h, [(0, 0), (0, 1), (0, 1), (0, 0)])
+            else:
+                _, from_next = L._halo_rows(h, spatial_axis)
+                h = jnp.concatenate([h, from_next], axis=1)
+                h = jnp.pad(h, [(0, 0), (0, 0), (0, 1), (0, 0)])
             h = L.conv2d(blk["downsamplers"]["0"]["conv"], h, stride=2, padding=0)
-    h = _mid(p["mid_block"], h, g)
-    h = L.group_norm(p["conv_norm_out"], h, g, act="silu")
-    h = L.conv2d(p["conv_out"], h)
+    h = _mid(p["mid_block"], h, g, spatial_axis)
+    h = L.group_norm(p["conv_norm_out"], h, g, act="silu",
+                     spatial_axis=spatial_axis)
+    h = L.conv2d(p["conv_out"], h, spatial_axis=spatial_axis)
     moments = L.conv2d(params["quant_conv"], h, padding=0)
     mean, logvar = jnp.split(moments, 2, axis=-1)
     return mean, logvar
 
 
-def decode(params: dict, cfg: VAEConfig, z: jax.Array) -> jax.Array:
+def decode(params: dict, cfg: VAEConfig, z: jax.Array,
+           spatial_axis=None) -> jax.Array:
     """z: [B,h,w,latent] (already divided by scaling_factor) -> [B,H,W,3].
     Reference path: post_quant_conv + vae.decoder
-    (marigold_depth_pipeline.py:498-516)."""
+    (marigold_depth_pipeline.py:498-516). spatial_axis: H-sharded (the
+    nearest-2x upsample is row-local, so only convs/GN/attention
+    communicate)."""
     g = cfg.norm_num_groups
     z = L.conv2d(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
-    h = L.conv2d(p["conv_in"], z)
-    h = _mid(p["mid_block"], h, g)
+    h = L.conv2d(p["conv_in"], z, spatial_axis=spatial_axis)
+    h = _mid(p["mid_block"], h, g, spatial_axis)
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
         blk = p["up_blocks"][str(i)]
         for j in range(cfg.layers_per_block + 1):
-            h = _resnet(blk["resnets"][str(j)], h, g)
+            h = _resnet(blk["resnets"][str(j)], h, g, spatial_axis)
         if i < n_blocks - 1:
             h = L.upsample_nearest_2x(h)
-            h = L.conv2d(blk["upsamplers"]["0"]["conv"], h)
-    h = L.group_norm(p["conv_norm_out"], h, g, act="silu")
-    return L.conv2d(p["conv_out"], h)
+            h = L.conv2d(blk["upsamplers"]["0"]["conv"], h,
+                         spatial_axis=spatial_axis)
+    h = L.group_norm(p["conv_norm_out"], h, g, act="silu",
+                     spatial_axis=spatial_axis)
+    return L.conv2d(p["conv_out"], h, spatial_axis=spatial_axis)
 
 
-def encode_mean_scaled(params: dict, cfg: VAEConfig, x: jax.Array) -> jax.Array:
+def encode_mean_scaled(params: dict, cfg: VAEConfig, x: jax.Array,
+                       spatial_axis=None) -> jax.Array:
     """RGB -> scaled latent (posterior mean * scaling_factor), the exact
     transform the pipelines use for both RGB and stacked-GT encoding."""
-    mean, _ = encode(params, cfg, x)
+    mean, _ = encode(params, cfg, x, spatial_axis=spatial_axis)
     return mean * cfg.scaling_factor
 
 
-def decode_scaled(params: dict, cfg: VAEConfig, z: jax.Array) -> jax.Array:
-    return decode(params, cfg, z / cfg.scaling_factor)
+def decode_scaled(params: dict, cfg: VAEConfig, z: jax.Array,
+                  spatial_axis=None) -> jax.Array:
+    return decode(params, cfg, z / cfg.scaling_factor,
+                  spatial_axis=spatial_axis)

@@ -184,7 +184,7 @@ class DiffusionCore:
 
     def _build_fused_fn(self, num_steps: int, ensemble_size: int, chunk: int,
                         mode: str, n_targets: int,
-                        ensemble_opts: tuple):
+                        ensemble_opts: tuple, spatial: bool = False):
         """Bucket-shaped serving program: rgb [1,Hb,Wb,3] (padded to a
         bucket grid) + validity mask [1,Hb,Wb,1] + PRNG key ->
         (pred [1,Hb,Wb,C], unc [1,Hb,Wb,1]) — encode, all-member denoise
@@ -214,7 +214,19 @@ class DiffusionCore:
         ds = vae_cfg.downscale_factor
         E = ensemble_size
         mesh = self.mesh
-        if mesh is not None:
+        if spatial:
+            # >1k-res long-context mode: the latent H axis shards over the
+            # mesh instead of the ensemble axis (SURVEY.md §5's
+            # "spatial-shard the latent across chips"; parallel/spatial.py
+            # documents the halo/psum/gather-KV design). All E members run
+            # in one H-sharded batch; the tiny ensemble reduce happens
+            # replicated after one gather.
+            if mesh is None:
+                raise ValueError("spatial inference requires a mesh")
+            if lcm is not None:
+                raise ValueError("spatial inference does not support LCM")
+            chunk = E
+        elif mesh is not None:
             # shard the ensemble axis over the mesh's `data` axis riding
             # ICI: members are independent trajectories, so XLA partitions
             # the whole denoise with zero collectives and inserts one
@@ -226,7 +238,7 @@ class DiffusionCore:
         ens_kwargs = dict(ensemble_opts)
 
         def denoise_decode(unet_params, vae_params, rgb_lat, noise, text,
-                           lcm_key=None):
+                           lcm_key=None, spatial_axis=None):
             eb = noise.shape[0]
             rgb_b = jnp.broadcast_to(rgb_lat, (eb,) + rgb_lat.shape[1:]).astype(
                 self.dtype
@@ -235,7 +247,8 @@ class DiffusionCore:
 
             def step(carry, t_pair):
                 x = jnp.concatenate([rgb_b, carry], axis=-1)
-                out = unet_lib.apply(unet_params, unet_cfg, x, t_pair[0], text)
+                out = unet_lib.apply(unet_params, unet_cfg, x, t_pair[0], text,
+                                     spatial_axis=spatial_axis)
                 if lcm is not None:
                     fresh = jax.random.normal(
                         jax.random.fold_in(lcm_key, t_pair[2]),
@@ -252,11 +265,13 @@ class DiffusionCore:
             target, _ = jax.lax.scan(step, target, ts_table)
 
             if mode == "depth":
-                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target,
+                                            spatial_axis=spatial_axis)
                 d = jnp.mean(img.astype(jnp.float32), axis=-1, keepdims=True)
                 return (jnp.clip(d, -1.0, 1.0) + 1.0) / 2.0
             if mode == "normals":
-                img = vae_lib.decode_scaled(vae_params, vae_cfg, target)
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, target,
+                                            spatial_axis=spatial_axis)
                 n = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
                 return n / jnp.clip(
                     jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6, None
@@ -264,13 +279,54 @@ class DiffusionCore:
             outs = []
             for i in range(n_targets):
                 z = target[..., i * latent_ch : (i + 1) * latent_ch]
-                img = vae_lib.decode_scaled(vae_params, vae_cfg, z)
+                img = vae_lib.decode_scaled(vae_params, vae_cfg, z,
+                                            spatial_axis=spatial_axis)
                 outs.append((jnp.clip(img.astype(jnp.float32), -1, 1) + 1) / 2)
             return jnp.concatenate(outs, axis=-1)
 
         def fused(unet_params, vae_params, rgb, mask, key, text):
             if rgb.dtype == jnp.uint8:
                 rgb = rgb.astype(jnp.float32) / 127.5 - 1.0
+            if spatial:
+                # encode runs inside the shard_map below (its convs need
+                # the halo exchange); here only the noise is global.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axis = "data"
+                ds_f = vae_cfg.downscale_factor
+                h_lat, w_lat = rgb.shape[1] // ds_f, rgb.shape[2] // ds_f
+                noise = jax.random.normal(
+                    key, (E, h_lat, w_lat, target_ch), jnp.float32
+                )
+                x_rgb = jax.lax.with_sharding_constraint(
+                    rgb, NamedSharding(mesh, P(None, axis, None, None))
+                )
+                noise = jax.lax.with_sharding_constraint(
+                    noise, NamedSharding(mesh, P(None, axis, None, None))
+                )
+
+                def body(unet_params, vae_params, rgb_l, noise_l, text):
+                    rgb_lat_l = vae_lib.encode_mean_scaled(
+                        vae_params, vae_cfg, rgb_l.astype(self.dtype),
+                        spatial_axis=axis,
+                    )
+                    return denoise_decode(
+                        unet_params, vae_params, rgb_lat_l, noise_l, text,
+                        spatial_axis=axis,
+                    )
+
+                preds = jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(None, axis, None, None),
+                              P(None, axis, None, None), P()),
+                    out_specs=P(None, axis, None, None),
+                )(unet_params, vae_params, x_rgb, noise, text)
+                preds = jax.lax.with_sharding_constraint(
+                    preds, NamedSharding(mesh, P())
+                )
+                return _reduce(preds, mask)
+
             rgb_lat = vae_lib.encode_mean_scaled(
                 vae_params, vae_cfg, rgb.astype(self.dtype)
             )
@@ -313,7 +369,9 @@ class DiffusionCore:
                     preds, NamedSharding(mesh, P())
                 )
             preds = preds[:E]
+            return _reduce(preds, mask)
 
+        def _reduce(preds, mask):
             # ensemble reduce (inlined, still on device; padding excluded
             # from all statistics via the mask)
             if E > 1:
@@ -360,13 +418,14 @@ class DiffusionCore:
         return jax.jit(fused)
 
     def get_fused_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
-                     n_targets, ensemble_opts=()):
+                     n_targets, ensemble_opts=(), spatial=False):
         key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
-               n_targets, ensemble_opts)
+               n_targets, ensemble_opts, spatial)
         return self._cached_program(
             key,
             lambda: self._build_fused_fn(num_steps, ensemble_size, chunk,
-                                         mode, n_targets, ensemble_opts),
+                                         mode, n_targets, ensemble_opts,
+                                         spatial=spatial),
         )
 
     # -------------------------------------------------------------- #
@@ -664,6 +723,7 @@ class BasePipeline:
         out_hw: Optional[tuple] = None,  # resize-back target (input res)
         ensemble_kwargs: Optional[dict] = None,
         shape_bucketing: bool = False,
+        spatial: bool = False,
     ):
         """Single-dispatch fused inference. Inputs edge-pad to the VAE's /8
         grid (minimal padding — the eval-protocol behavior); a validity
@@ -678,12 +738,31 @@ class BasePipeline:
         OFF for protocol runs: bucket padding adds up to 63 px of
         replicated content that feeds global self-attention and the VAE —
         protocol datasets are uniform-shaped and compile one program
-        regardless. Returns (pred [h,w,C] float32, uncertainty [h,w,C] or
-        None)."""
+        regardless.
+
+        spatial=True (requires a mesh): shard the image's H axis over the
+        mesh instead of the ensemble axis — the >1k-px long-context mode
+        where one trajectory outgrows a chip (parallel/spatial.py). H pads
+        to 64 * mesh-size px so every UNet/VAE level splits evenly; the
+        mask keeps the padding out of the statistics as usual.
+
+        Returns (pred [h,w,C] float32, uncertainty [h,w,C] or None)."""
         core = self.core
         ds = core.vae_cfg.downscale_factor
         bucket = max(64, ds) if shape_bucketing else ds
         x, h0, w0 = pad_to_multiple_of(rgb_norm[None], bucket)
+        if spatial:
+            if core.mesh is None:
+                raise ValueError(
+                    "spatial=True needs a pipeline built with a mesh "
+                    "(from_pretrained(..., mesh=get_mesh()))"
+                )
+            need_h = 64 * core.mesh.shape["data"]
+            ph = (need_h - x.shape[1] % need_h) % need_h
+            if ph:
+                x = np.pad(
+                    x, [(0, 0), (0, ph), (0, 0), (0, 0)], mode="edge"
+                )
         hp, wp = x.shape[1], x.shape[2]
         mask = np.zeros((1, hp, wp, 1), bool)
         mask[:, :h0, :w0] = True
@@ -707,7 +786,7 @@ class BasePipeline:
 
         fn = core.get_fused_fn(
             hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
-            self.n_targets, opts,
+            self.n_targets, opts, spatial=spatial,
         )
         key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
         pred, unc = fn(

@@ -55,6 +55,7 @@ class MarigoldDepthPipeline(BasePipeline):
         show_progress_bar: bool = True,
         ensemble_kwargs: Optional[Dict] = None,
         shape_bucketing: bool = False,
+        spatial: bool = False,
     ) -> MarigoldDepthOutput:
         if denoising_steps is None:
             denoising_steps = self.default_denoising_steps or 1
@@ -95,6 +96,7 @@ class MarigoldDepthPipeline(BasePipeline):
             out_hw=out_hw,
             ensemble_kwargs=ensemble_kwargs,
             shape_bucketing=shape_bucketing,
+            spatial=spatial,
         )
         if pred_uncert is not None:
             pred_uncert = pred_uncert[..., 0]

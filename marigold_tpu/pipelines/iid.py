@@ -126,6 +126,7 @@ class MarigoldIIDPipeline(BasePipeline):
         show_progress_bar: bool = True,
         ensemble_kwargs: Optional[Dict] = None,
         shape_bucketing: bool = False,
+        spatial: bool = False,
     ) -> MarigoldIIDOutput:
         if denoising_steps is None:
             denoising_steps = self.default_denoising_steps or 4
@@ -158,6 +159,7 @@ class MarigoldIIDPipeline(BasePipeline):
             out_hw=out_hw,
             ensemble_kwargs=ensemble_kwargs,
             shape_bucketing=shape_bucketing,
+            spatial=spatial,
         )  # pred [h,w,3n]; uncert [h,w,3n] (per-channel MAD) or None
 
         output = MarigoldIIDOutput(target_names=self.target_names)

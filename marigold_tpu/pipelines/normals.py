@@ -51,6 +51,7 @@ class MarigoldNormalsPipeline(BasePipeline):
         show_progress_bar: bool = True,
         ensemble_kwargs: Optional[Dict] = None,
         shape_bucketing: bool = False,
+        spatial: bool = False,
     ) -> MarigoldNormalsOutput:
         if denoising_steps is None:
             denoising_steps = self.default_denoising_steps or 4
@@ -83,6 +84,7 @@ class MarigoldNormalsPipeline(BasePipeline):
             out_hw=out_hw,
             ensemble_kwargs=ensemble_kwargs,
             shape_bucketing=shape_bucketing,
+            spatial=spatial,
         )
         if uncert is not None:
             uncert = uncert[..., 0]

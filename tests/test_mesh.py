@@ -351,3 +351,42 @@ def test_spatial_unet_rejects_indivisible_height(rng):
         spatial_unet_apply(
             params, cfg, x, jnp.asarray(0), jnp.zeros((1, 2, 16)), get_mesh(8)
         )
+
+
+def test_spatial_pipeline_inference_matches_single_device(depth_ckpt, rng):
+    """pipe(..., spatial=True): the whole fused program (encode -> denoise
+    -> decode -> reduce) with the image's H axis sharded over the mesh
+    must match the unsharded pipeline — the >1k-res serving mode, scaled
+    down to test geometry."""
+    from marigold_tpu import MarigoldDepthPipeline
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (512, 64, 3), dtype=np.uint8), "RGB"
+    )
+    kw = dict(
+        denoising_steps=1, ensemble_size=2, processing_res=0, seed=7,
+        show_progress_bar=False, color_map=None,
+        ensemble_kwargs=dict(scale_invariant=False, shift_invariant=False),
+    )
+    pipe1 = MarigoldDepthPipeline.from_pretrained(depth_ckpt, dtype=jnp.float32)
+    a = pipe1(img, **kw).depth_np
+
+    mesh = get_mesh(8)
+    pipe8 = MarigoldDepthPipeline.from_pretrained(
+        depth_ckpt, dtype=jnp.float32, mesh=mesh
+    )
+    b = pipe8(img, spatial=True, **kw).depth_np
+    assert a.shape == b.shape == (512, 64)
+    np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-3)
+
+
+def test_spatial_pipeline_requires_mesh(depth_ckpt, rng):
+    from marigold_tpu import MarigoldDepthPipeline
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB"
+    )
+    pipe = MarigoldDepthPipeline.from_pretrained(depth_ckpt, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="mesh"):
+        pipe(img, spatial=True, processing_res=0, denoising_steps=1,
+             show_progress_bar=False, color_map=None)
