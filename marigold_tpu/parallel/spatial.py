@@ -77,7 +77,10 @@ def spatial_unet_apply(
     (weights are small next to >1k-px activations). Jitted once per
     (mesh, cfg); shapes go through jit's own cache.
     """
-    check_spatial_divisibility(sample.shape[1], mesh, axis_name)
+    check_spatial_divisibility(
+        sample.shape[1], mesh, axis_name,
+        n_levels=len(cfg.block_out_channels),
+    )
     run = _get_program(mesh, axis_name, cfg)
     return run(params, sample, timesteps, encoder_hidden_states)
 
