@@ -76,7 +76,11 @@ def main(argv=None):
         "normals": MarigoldNormalsPipeline,
         "iid": MarigoldIIDPipeline,
     }[args.modality]
-    pipe = cls.from_pretrained(args.checkpoint, dtype=dtype)
+    # --half_precision also prefers fp16 weight-variant files when the
+    # checkpoint ships them (reference script/depth/run.py:203-215); the
+    # loader falls back to the plain files when no variant exists
+    variant = "fp16" if args.half_precision else None
+    pipe = cls.from_pretrained(args.checkpoint, dtype=dtype, variant=variant)
 
     rgb_paths = sorted(
         p

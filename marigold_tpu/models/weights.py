@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Callable, Mapping
 
 import jax.numpy as jnp
@@ -40,18 +41,30 @@ _VAE_ATTN_ALIASES = {
 _EMBEDDING_MARKERS = ("token_embedding", "position_embedding", "embeddings")
 
 
-def load_safetensors_flat(path: str) -> dict[str, np.ndarray]:
-    """Load all *.safetensors under `path` (single file, multiple shards, or
-    an index json) into one flat name->array dict."""
+def load_safetensors_flat(
+    path: str, variant: str | None = None
+) -> dict[str, np.ndarray]:
+    """Load *.safetensors under `path` (single file, multiple shards, or an
+    index json) into one flat name->array dict.
+
+    variant: HF weight-variant selection (diffusers from_pretrained
+    variant="fp16" semantics — reference script/depth/run.py:203-215 uses
+    it for --half_precision). A checkpoint dir may carry both
+    model.safetensors and model.fp16.safetensors with identical keys:
+    variant=None loads only the non-variant files (falling back to
+    whatever exists), variant="fp16" prefers *.fp16.safetensors."""
     tensors: dict[str, np.ndarray] = {}
     if os.path.isfile(path):
         files = [path]
     else:
-        files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".safetensors")
-        )
+        names = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+        def is_var(f):
+            return bool(re.search(r"\.(fp16|bf16|fp32)\.safetensors$", f))
+        if variant:
+            want = [f for f in names if f.endswith(f".{variant}.safetensors")]
+        else:
+            want = [f for f in names if not is_var(f)]
+        files = sorted(os.path.join(path, f) for f in (want or names))
     if not files:
         raise FileNotFoundError(f"no .safetensors files under {path}")
     for f in files:
@@ -138,30 +151,30 @@ def write_config(cfg: Mapping[str, Any], dirpath: str, filename: str = "config.j
 # component loaders
 
 
-def load_unet(subdir: str, dtype=None):
+def load_unet(subdir: str, dtype=None, variant: str | None = None):
     """unet/ dir -> (UNetConfig, params tree)."""
     from marigold_tpu.models.unet import UNetConfig
 
     cfg = UNetConfig.from_dict(read_config(subdir))
-    flat = load_safetensors_flat(subdir)
+    flat = load_safetensors_flat(subdir, variant=variant)
     params = torch_to_tree(flat, dtype=dtype)
     return cfg, params
 
 
-def load_vae(subdir: str, dtype=None):
+def load_vae(subdir: str, dtype=None, variant: str | None = None):
     from marigold_tpu.models.vae import VAEConfig
 
     cfg = VAEConfig.from_dict(read_config(subdir))
-    flat = load_safetensors_flat(subdir)
+    flat = load_safetensors_flat(subdir, variant=variant)
     params = torch_to_tree(flat, dtype=dtype)
     return cfg, params
 
 
-def load_text_encoder(subdir: str, dtype=None):
+def load_text_encoder(subdir: str, dtype=None, variant: str | None = None):
     from marigold_tpu.models.clip_text import CLIPTextConfig
 
     cfg = CLIPTextConfig.from_dict(read_config(subdir))
-    flat = load_safetensors_flat(subdir)
+    flat = load_safetensors_flat(subdir, variant=variant)
     params = torch_to_tree(flat, dtype=dtype, strip_prefix="text_model.")
     # transformers also stores a text_projection for CLIPModel ckpts; drop
     params.pop("text_projection", None)

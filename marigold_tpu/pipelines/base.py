@@ -608,22 +608,30 @@ class DiffusionCore:
 # checkpoint loading
 
 
-def load_pipeline_components(ckpt_dir: str, dtype=jnp.bfloat16):
+def load_pipeline_components(ckpt_dir: str, dtype=jnp.bfloat16,
+                             variant: Optional[str] = None):
     """Read a diffusers pipeline checkpoint dir (model_index.json +
     unet/ vae/ text_encoder/ scheduler/) into a DiffusionCore + pipeline
-    config dict."""
+    config dict. variant selects HF weight variants (e.g. "fp16" —
+    reference --half_precision, script/depth/run.py:203-215)."""
     index_path = os.path.join(ckpt_dir, "model_index.json")
     pipe_cfg: dict[str, Any] = {}
     if os.path.exists(index_path):
         with open(index_path) as f:
             pipe_cfg = json.load(f)
 
-    unet_cfg, unet_params = W.load_unet(os.path.join(ckpt_dir, "unet"), dtype=dtype)
-    vae_cfg, vae_params = W.load_vae(os.path.join(ckpt_dir, "vae"), dtype=dtype)
+    unet_cfg, unet_params = W.load_unet(
+        os.path.join(ckpt_dir, "unet"), dtype=dtype, variant=variant
+    )
+    vae_cfg, vae_params = W.load_vae(
+        os.path.join(ckpt_dir, "vae"), dtype=dtype, variant=variant
+    )
 
     text_dir = os.path.join(ckpt_dir, "text_encoder")
     if os.path.isdir(text_dir):
-        text_cfg, text_params = W.load_text_encoder(text_dir, dtype=dtype)
+        text_cfg, text_params = W.load_text_encoder(
+            text_dir, dtype=dtype, variant=variant
+        )
     else:
         text_cfg, text_params = None, None
 
@@ -701,8 +709,10 @@ class BasePipeline:
 
     @classmethod
     def from_pretrained(cls, ckpt_dir: str, dtype=jnp.bfloat16, mesh=None,
-                        **kwargs):
-        core, pipe_cfg = load_pipeline_components(ckpt_dir, dtype=dtype)
+                        variant=None, **kwargs):
+        core, pipe_cfg = load_pipeline_components(
+            ckpt_dir, dtype=dtype, variant=variant
+        )
         if mesh is not None:
             core.mesh = mesh
             from marigold_tpu.parallel.mesh import replicate

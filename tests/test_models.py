@@ -282,3 +282,26 @@ def test_old_vae_attention_names_aliased():
     tree = W.torch_to_tree(flat)
     att = tree["encoder"]["mid_block"]["attentions"]["0"]
     assert "to_q" in att and "0" in att["to_out"]
+
+
+def test_weight_variant_selection(tmp_path):
+    """HF checkpoints can ship plain + fp16 weight-variant files with
+    identical keys (diffusers variant="fp16"; reference --half_precision,
+    script/depth/run.py:203-215). variant=None must read only the plain
+    file, variant="fp16" only the variant, and a variant-only dir must
+    fall back regardless of the requested variant."""
+    from safetensors.numpy import save_file
+
+    plain = {"w": np.full((2, 2), 1.0, np.float32)}
+    fp16 = {"w": np.full((2, 2), 2.0, np.float16)}
+    save_file(plain, str(tmp_path / "model.safetensors"))
+    save_file(fp16, str(tmp_path / "model.fp16.safetensors"))
+
+    assert W.load_safetensors_flat(str(tmp_path))["w"][0, 0] == 1.0
+    assert W.load_safetensors_flat(str(tmp_path), variant="fp16")["w"][0, 0] == 2.0
+
+    only_var = tmp_path / "only_variant"
+    only_var.mkdir()
+    save_file(fp16, str(only_var / "model.fp16.safetensors"))
+    assert W.load_safetensors_flat(str(only_var))["w"][0, 0] == 2.0
+    assert W.load_safetensors_flat(str(only_var), variant="fp16")["w"][0, 0] == 2.0
