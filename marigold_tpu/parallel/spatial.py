@@ -108,6 +108,9 @@ def _get_program(mesh: Mesh, axis_name: str, cfg: unet_lib.UNetConfig):
             mesh=mesh,
             in_specs=(P(), x_spec, P(), P()),
             out_specs=x_spec,
+            # Pallas kernels (flash attention) inside the body don't carry
+            # varying-across-mesh annotations on their out shapes
+            check_vma=False,
         )(params, sample, timesteps, ctx)
 
     _PROGRAM_CACHE[key] = run

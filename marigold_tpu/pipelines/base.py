@@ -321,6 +321,8 @@ class DiffusionCore:
                     in_specs=(P(), P(), P(None, axis, None, None),
                               P(None, axis, None, None), P()),
                     out_specs=P(None, axis, None, None),
+                    # flash kernels inside carry no vma annotations
+                    check_vma=False,
                 )(unet_params, vae_params, x_rgb, noise, text)
                 preds = jax.lax.with_sharding_constraint(
                     preds, NamedSharding(mesh, P())
