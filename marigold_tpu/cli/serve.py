@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--color_map", type=str, default="Spectral")
     p.add_argument("--full_precision", action="store_true")
+    p.add_argument("--no_compact_readback", action="store_true",
+                   help="read predictions back as float32 instead of "
+                        "uint16 (compact is 4x less device->host traffic "
+                        "at the 16-bit-PNG output precision)")
     return p
 
 
@@ -149,6 +153,7 @@ def serve(args) -> int:
         match_input_res=True,
         batch_size=args.batch_images * args.ensemble_size,
         seed=args.seed,
+        compact_readback=not args.no_compact_readback,
     )
     if args.modality == "depth":
         call_kwargs["color_map"] = (

@@ -576,11 +576,14 @@ class DiffusionCore:
                         jnp.linalg.norm(pred, axis=-1, keepdims=True),
                         1e-6, None,
                     )
-            if compact_output and mode == "depth":
-                # uint16 readback: depth/uncertainty live in [0,1], and the
-                # serving outputs (16-bit PNG) carry exactly this
-                # precision — 4x less device->host traffic, which matters
-                # on tunneled links (~50 MB/s). Callers divide by 65535.
+            if compact_output:
+                # uint16 readback: 4x less device->host traffic, which
+                # matters on tunneled links (~50 MB/s), at the precision
+                # the 16-bit PNG serving outputs carry anyway. depth/iid
+                # live in [0,1]; normals in [-1,1] map through (x+1)/2.
+                # Callers invert (see _infer_fused_batch sync path).
+                if mode == "normals":
+                    pred = (pred + 1.0) / 2.0
                 pred = jnp.round(
                     jnp.clip(pred, 0.0, 1.0) * 65535.0
                 ).astype(jnp.uint16)
@@ -834,11 +837,16 @@ class BasePipeline:
         seed: Optional[int],
         ensemble_kwargs: Optional[dict],
         default_steps: int = 4,
+        compact_readback: bool = False,
     ):
         """Shared batched-serving front half: defaults, step check, same-
         shape validation, processing-res resize, fused batch dispatch.
         Returns (preds [NI,h,w,C], uncs [NI,h,w,C] or None). Modality
-        batch_call wrappers only build their output containers."""
+        batch_call wrappers only build their output containers.
+
+        compact_readback: read predictions back as uint16 (converted to
+        float here) — 4x less device->host traffic at 16-bit-PNG
+        precision; for serving loops on tunneled links."""
         if denoising_steps is None:
             denoising_steps = self.default_denoising_steps or default_steps
         if processing_res is None:
@@ -866,6 +874,7 @@ class BasePipeline:
             seed=seed,
             out_hw=out_hw,
             ensemble_kwargs=ensemble_kwargs,
+            compact_output=compact_readback,
         )
 
     def _infer_fused_batch(
@@ -884,11 +893,11 @@ class BasePipeline:
         """Batched serving: returns (pred [NI,h,w,C], unc [NI,h,w,C] or None).
         With sync=False, returns device arrays without host transfer —
         callers can pipeline several in-flight batches (steady-state
-        serving) and transfer when needed. compact_output (depth only):
-        return uint16 in [0, 65535] — 4x cheaper readback at exactly the
-        16-bit-PNG output precision; with sync=True the conversion back
-        to float happens here, with sync=False the caller divides by
-        65535 after device_get."""
+        serving) and transfer when needed. compact_output: read back
+        uint16 in [0, 65535] — 4x cheaper readback at exactly the
+        16-bit-PNG output precision (normals map through (x+1)/2); with
+        sync=True the conversion back to float happens here, with
+        sync=False the caller inverts after device_get."""
         core = self.core
         x, h0, w0 = pad_to_multiple_of(
             rgb_norm_batch, core.vae_cfg.downscale_factor
@@ -912,7 +921,7 @@ class BasePipeline:
             merged.update(ensemble_kwargs or {})
             opts = tuple(sorted(merged.items()))
 
-        compact = bool(compact_output) and self.mode == "depth"
+        compact = bool(compact_output)
         fn = core.get_batch_fn(
             hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
             self.n_targets, out_hw, (h0, w0), opts, ni,
@@ -930,6 +939,8 @@ class BasePipeline:
         if compact:
             pred_np /= 65535.0
             unc_np /= 65535.0
+            if self.mode == "normals":
+                pred_np = pred_np * 2.0 - 1.0
         if ensemble_size <= 1:
             unc_np = None
         return pred_np, unc_np

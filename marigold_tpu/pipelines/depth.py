@@ -128,6 +128,7 @@ class MarigoldDepthPipeline(BasePipeline):
         seed: Optional[int] = None,
         color_map: Optional[str] = None,
         ensemble_kwargs: Optional[Dict] = None,
+        compact_readback: bool = False,
     ) -> list:
         """Throughput-oriented batched serving: all images' ensemble members
         share one fused program (new TPU-native capability; no reference
@@ -144,6 +145,7 @@ class MarigoldDepthPipeline(BasePipeline):
             input_images, denoising_steps, ensemble_size, processing_res,
             match_input_res, resample_method, batch_size, seed,
             ensemble_kwargs, default_steps=1,
+            compact_readback=compact_readback,
         )
         outputs = []
         for i in range(preds.shape[0]):

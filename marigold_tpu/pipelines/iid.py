@@ -189,6 +189,7 @@ class MarigoldIIDPipeline(BasePipeline):
         batch_size: int = 0,
         seed: Optional[int] = None,
         ensemble_kwargs: Optional[Dict] = None,
+        compact_readback: bool = False,
     ) -> list:
         """Batched serving for same-shape images (the IID protocol runs
         ensemble_size=1, so sharing the denoise batch across images is the
@@ -201,6 +202,7 @@ class MarigoldIIDPipeline(BasePipeline):
             input_images, denoising_steps, ensemble_size, processing_res,
             match_input_res, resample_method, batch_size, seed,
             ensemble_kwargs,
+            compact_readback=compact_readback,
         )  # [NI,h,w,3n]
         outputs = []
         for b in range(preds.shape[0]):

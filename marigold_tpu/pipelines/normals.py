@@ -106,6 +106,7 @@ class MarigoldNormalsPipeline(BasePipeline):
         batch_size: int = 0,
         seed: Optional[int] = None,
         ensemble_kwargs: Optional[Dict] = None,
+        compact_readback: bool = False,
     ) -> list:
         """Throughput-oriented batched serving for same-shape images (the
         normals eval protocol runs E=10 at 640/768 px over whole test
@@ -119,6 +120,7 @@ class MarigoldNormalsPipeline(BasePipeline):
             input_images, denoising_steps, ensemble_size, processing_res,
             match_input_res, resample_method, batch_size, seed,
             ensemble_kwargs,
+            compact_readback=compact_readback,
         )
         outputs = []
         for i in range(preds.shape[0]):

@@ -267,3 +267,29 @@ def test_depth_compact_output_matches_float(depth_ckpt, rng):
     assert p_c.dtype == np.float32
     np.testing.assert_allclose(p_c, np.clip(p_f, 0, 1), atol=1.01 / 65535)
     np.testing.assert_allclose(u_c, np.clip(u_f, 0, 1), atol=1.01 / 65535)
+
+
+def test_normals_compact_readback_matches_float(tmp_path_factory, rng):
+    """Compact uint16 readback for normals maps [-1,1] through (x+1)/2;
+    batch_call(compact_readback=True) must equal the float path to one
+    16-bit quantum."""
+    from marigold_tpu import MarigoldNormalsPipeline
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path_factory.mktemp("nck_c")), mode="normals"
+    )
+    pipe = MarigoldNormalsPipeline.from_pretrained(ckpt, dtype=jnp.float32)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (40, 48, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    kw = dict(denoising_steps=1, ensemble_size=3, processing_res=32, seed=5)
+    a = pipe.batch_call(imgs, **kw)
+    b = pipe.batch_call(imgs, compact_readback=True, **kw)
+    for oa, ob in zip(a, b):
+        np.testing.assert_allclose(
+            ob.normals_np, oa.normals_np, atol=2.02 / 65535
+        )
+        np.testing.assert_allclose(
+            ob.uncertainty, oa.uncertainty, atol=1.01 / 65535
+        )
