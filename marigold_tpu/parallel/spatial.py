@@ -33,10 +33,8 @@ reassociated) — asserted to tolerance in tests/test_mesh.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from marigold_tpu.models import unet as unet_lib

@@ -226,6 +226,7 @@ class DiffusionCore:
             if lcm is not None:
                 raise ValueError("spatial inference does not support LCM")
             chunk = E
+            spatial_axis_name = mesh.axis_names[0]
         elif mesh is not None:
             # shard the ensemble axis over the mesh's `data` axis riding
             # ICI: members are independent trajectories, so XLA partitions
@@ -292,7 +293,7 @@ class DiffusionCore:
                 # the halo exchange); here only the noise is global.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                axis = "data"
+                axis = spatial_axis_name
                 ds_f = vae_cfg.downscale_factor
                 h_lat, w_lat = rgb.shape[1] // ds_f, rgb.shape[2] // ds_f
                 noise = jax.random.normal(
@@ -421,6 +422,11 @@ class DiffusionCore:
 
     def get_fused_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
                      n_targets, ensemble_opts=(), spatial=False):
+        if spatial:
+            # the spatial builder always denoises all E members in one
+            # chunk; normalize so differing caller batch_size values
+            # don't compile duplicate (byte-identical) programs
+            chunk = ensemble_size
         key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
                n_targets, ensemble_opts, spatial)
         return self._cached_program(
@@ -772,7 +778,15 @@ class BasePipeline:
                     "spatial=True needs a pipeline built with a mesh "
                     "(from_pretrained(..., mesh=get_mesh()))"
                 )
-            need_h = 64 * core.mesh.shape["data"]
+            # every UNet level's shard-local H must stay even: pixel H
+            # divisible by vae_ds * 2^(levels-1) * mesh size (the
+            # pipeline analog of parallel/spatial.py:check_spatial_divisibility)
+            axis = core.mesh.axis_names[0]
+            need_h = (
+                core.vae_cfg.downscale_factor
+                * (1 << (len(core.unet_cfg.block_out_channels) - 1))
+                * core.mesh.shape[axis]
+            )
             ph = (need_h - x.shape[1] % need_h) % need_h
             if ph:
                 x = np.pad(

@@ -305,3 +305,21 @@ def test_weight_variant_selection(tmp_path):
     save_file(fp16, str(only_var / "model.fp16.safetensors"))
     assert W.load_safetensors_flat(str(only_var))["w"][0, 0] == 2.0
     assert W.load_safetensors_flat(str(only_var), variant="fp16")["w"][0, 0] == 2.0
+
+    # HF sharded naming: model.fp16-00001-of-00002.safetensors must be
+    # classified as a variant too (sorted() would otherwise let the fp16
+    # shards overwrite the plain weights)
+    sharded = tmp_path / "sharded"
+    sharded.mkdir()
+    a = {"w1": np.full((2, 2), 1.0, np.float32)}
+    b = {"w2": np.full((2, 2), 1.0, np.float32)}
+    a16 = {"w1": np.full((2, 2), 2.0, np.float16)}
+    b16 = {"w2": np.full((2, 2), 2.0, np.float16)}
+    save_file(a, str(sharded / "model-00001-of-00002.safetensors"))
+    save_file(b, str(sharded / "model-00002-of-00002.safetensors"))
+    save_file(a16, str(sharded / "model.fp16-00001-of-00002.safetensors"))
+    save_file(b16, str(sharded / "model.fp16-00002-of-00002.safetensors"))
+    plain = W.load_safetensors_flat(str(sharded))
+    assert plain["w1"][0, 0] == 1.0 and plain["w2"][0, 0] == 1.0
+    var = W.load_safetensors_flat(str(sharded), variant="fp16")
+    assert var["w1"][0, 0] == 2.0 and var["w2"][0, 0] == 2.0
