@@ -58,10 +58,16 @@ def load_safetensors_flat(
         files = [path]
     else:
         names = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+        # HF naming: single-file "model.fp16.safetensors" and sharded
+        # "model.fp16-00001-of-00002.safetensors"
+        shard = r"(?:-\d+-of-\d+)?\.safetensors$"
+
         def is_var(f):
-            return bool(re.search(r"\.(fp16|bf16|fp32)\.safetensors$", f))
+            return bool(re.search(r"\.(fp16|bf16|fp32)" + shard, f))
+
         if variant:
-            want = [f for f in names if f.endswith(f".{variant}.safetensors")]
+            pat = re.compile(re.escape(f".{variant}") + shard)
+            want = [f for f in names if pat.search(f)]
         else:
             want = [f for f in names if not is_var(f)]
         files = sorted(os.path.join(path, f) for f in (want or names))
