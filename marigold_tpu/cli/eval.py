@@ -35,6 +35,10 @@ def build_parser():
                         nargs="*", default=[],
                         help="(iid) targets converted sRGB->linear before "
                              "metrics (appearance model protocol)")
+    parser.add_argument("--target_names", type=str, nargs="*", default=None,
+                        help="(iid) restrict evaluation to these targets "
+                             "(reference script/iid/eval.py --target_names; "
+                             "default: every target present in the sample)")
     parser.add_argument("--use_mask", action="store_true", default=True)
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help="(iid) local VGG16+LPIPS weight file; also "
@@ -136,7 +140,9 @@ def eval_iid(args, dataset, metric_names):
         if t and t != "None"
     )
     is_hypersim = "hypersim" in getattr(dataset, "disp_name", "")
-    target_names = None
+    target_names = list(args.target_names) if getattr(
+        args, "target_names", None
+    ) else None
     tracker = M.MetricTracker()
     rows = []
     metric_fns = {"psnr": M.psnr, "ssim": M.ssim}

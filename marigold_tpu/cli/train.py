@@ -35,6 +35,12 @@ def build_parser():
     parser.add_argument("--exit_after", type=int, default=-1,
                         help="Save and exit after this many minutes")
     parser.add_argument("--no_val", action="store_true")
+    parser.add_argument("--no_wandb", action="store_true",
+                        help="disable wandb tracking (reference --no_wandb; "
+                             "noop when wandb is not installed)")
+    parser.add_argument("--add_datetime_prefix", action="store_true",
+                        help="prefix the run dir name with the start "
+                             "datetime (reference --add_datetime_prefix)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the per-step batch over all devices "
                              "(params replicated, psum grad all-reduce "
@@ -94,10 +100,9 @@ def main(argv=None):
         cfg = recursive_load_config(os.path.join(out_dir_run, "config.yaml"))
     else:
         cfg = recursive_load_config(args.config)
-        run_name = (
-            f"{t_start.strftime('%y_%m_%d-%H_%M_%S')}-"
-            f"{os.path.splitext(os.path.basename(args.config))[0]}"
-        )
+        run_name = os.path.splitext(os.path.basename(args.config))[0]
+        if args.add_datetime_prefix:
+            run_name = f"{t_start.strftime('%y_%m_%d-%H_%M_%S')}-{run_name}"
         out_dir_run = os.path.join(args.output_dir or "output", run_name)
         os.makedirs(out_dir_run, exist_ok=True)
 
@@ -111,6 +116,28 @@ def main(argv=None):
     config_logging(cfg.get("logging", {}), out_dir=out_dir_run)
     logging.info(f"config: {args.config}; output: {out_dir_run}")
     tb_logger.set_dir(out_dir_tb)
+
+    # wandb wrapping tensorboard, with run-ID persistence across resume
+    # (reference train.py:185-210, logging_util.py:95-120; noop without
+    # the package)
+    from marigold_tpu.utils.logging_util import (
+        init_wandb,
+        load_wandb_job_id,
+        save_wandb_job_id,
+    )
+
+    wandb_kwargs = dict(
+        project=cfg.get("wandb", {}).get("project", "marigold_tpu"),
+        name=os.path.basename(out_dir_run),
+        dir=out_dir_run,
+        config={"entry": "train", "config": args.config},
+    )
+    if resume_run is not None:
+        prev_id = load_wandb_job_id(out_dir_run)
+        if prev_id is not None:
+            wandb_kwargs.update(id=prev_id, resume="must")
+    wandb_run = init_wandb(enable=not args.no_wandb, **wandb_kwargs)
+    save_wandb_job_id(wandb_run, out_dir_run)
     log_slurm_job_id()
 
     if resume_run is None:
