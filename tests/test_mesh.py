@@ -390,3 +390,35 @@ def test_spatial_pipeline_requires_mesh(depth_ckpt, rng):
     with pytest.raises(ValueError, match="mesh"):
         pipe(img, spatial=True, processing_res=0, denoising_steps=1,
              show_progress_bar=False, color_map=None)
+
+
+def test_spatial_pipeline_normals_matches_single_device(tmp_path_factory, rng):
+    """Spatial mode through the normals decode (clip + L2-normalize runs
+    on H-sharded rows; unit norms are per-pixel so sharding is layout)."""
+    from fixtures import make_tiny_checkpoint
+    from marigold_tpu import MarigoldNormalsPipeline
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path_factory.mktemp("nsp")), mode="normals"
+    )
+    img = Image.fromarray(
+        rng.integers(0, 255, (512, 64, 3), dtype=np.uint8), "RGB"
+    )
+    # reduction="mean": the default "closest" is a per-pixel argmax over
+    # member cosines, which flips chaotically between fp-reassociated but
+    # mathematically equal paths when tiny-model members are uncorrelated
+    # (same caveat as the sharded depth test above)
+    kw = dict(
+        denoising_steps=1, ensemble_size=2, processing_res=0, seed=9,
+        show_progress_bar=False, ensemble_kwargs=dict(reduction="mean"),
+    )
+    a = MarigoldNormalsPipeline.from_pretrained(ckpt, dtype=jnp.float32)(
+        img, **kw
+    ).normals_np
+    pipe8 = MarigoldNormalsPipeline.from_pretrained(
+        ckpt, dtype=jnp.float32, mesh=get_mesh(8)
+    )
+    b = pipe8(img, spatial=True, **kw).normals_np
+    np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-3)
+    norms = np.linalg.norm(b, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
