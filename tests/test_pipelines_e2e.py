@@ -293,3 +293,22 @@ def test_normals_compact_readback_matches_float(tmp_path_factory, rng):
         np.testing.assert_allclose(
             ob.uncertainty, oa.uncertainty, atol=1.01 / 65535
         )
+
+
+def test_iid_compact_readback_matches_float(iid_ckpt, rng):
+    """Compact uint16 readback for IID targets (all in [0,1])."""
+    from marigold_tpu import MarigoldIIDPipeline
+
+    pipe = MarigoldIIDPipeline.from_pretrained(iid_ckpt, dtype=jnp.float32)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (40, 48, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    kw = dict(denoising_steps=1, ensemble_size=2, processing_res=32, seed=5)
+    a = pipe.batch_call(imgs, **kw)
+    b = pipe.batch_call(imgs, compact_readback=True, **kw)
+    for oa, ob in zip(a, b):
+        for ea, eb in zip(oa, ob):
+            np.testing.assert_allclose(
+                eb.array, ea.array, atol=1.01 / 65535
+            )
