@@ -127,7 +127,13 @@ def group_norm(p, x, num_groups=32, eps=1e-6, act=None, spatial_axis=None):
 
     spatial_axis: when the H dimension is sharded over that mesh axis
     (inside shard_map), the statistics are `psum`ed across shards so every
-    device normalizes with the global mean/var."""
+    device normalizes with the global mean/var.
+
+    Measured non-option: an optimization_barrier here (to stop XLA fusing
+    these reductions into the producing conv's epilogue) makes the full
+    serving program 2% SLOWER — isolated convs run 72-93% MFU vs 41-50%
+    in-program, but the gap comes from program-level layout assignment,
+    not the fused reduce (v5e traces, docs/PERFORMANCE.md)."""
     orig_dtype = x.dtype
     shape = x.shape
     c = shape[-1]
