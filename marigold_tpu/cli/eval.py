@@ -143,6 +143,20 @@ def eval_iid(args, dataset, metric_names):
     target_names = list(args.target_names) if getattr(
         args, "target_names", None
     ) else None
+    if target_names is not None:
+        known = {"albedo", "material", "shading", "residual"}
+        bad = [t for t in target_names if t not in known]
+        if bad:
+            raise SystemExit(f"--target_names: unknown target(s) {bad}; "
+                             f"choose from {sorted(known)}")
+    _lin = set(getattr(args, "targets_to_eval_in_linear_space", []) or [])
+    if target_names is not None and not _lin <= set(target_names):
+        # reference validates the subset relation up front
+        # (script/iid/eval.py:120-124)
+        raise SystemExit(
+            "--targets_to_eval_in_linear_space must be a subset of "
+            f"--target_names, got {sorted(_lin - set(target_names))} extra"
+        )
     tracker = M.MetricTracker()
     rows = []
     metric_fns = {"psnr": M.psnr, "ssim": M.ssim}
@@ -179,8 +193,11 @@ def eval_iid(args, dataset, metric_names):
             if t in linear_targets:
                 pred, gt = img_srgb2linear(pred), img_srgb2linear(gt)
             # lighting protocol: Hypersim GT/preds are linear; albedo is
-            # evaluated in sRGB (reference script/iid/eval.py:182-196)
-            if is_hypersim and len(target_names) == 3 and t == "albedo":
+            # evaluated in sRGB (reference script/iid/eval.py:182-196).
+            # Detect the lighting model from the SAMPLE (shading present),
+            # not from len(target_names) — --target_names may restrict
+            # the evaluated list without changing the checkpoint protocol
+            if is_hypersim and "shading" in sample and t == "albedo":
                 pred, gt = img_linear2srgb(pred), img_linear2srgb(gt)
             mask = sample.get(f"mask_{t}")
             mask = np.asarray(mask, bool) if mask is not None else None

@@ -83,9 +83,12 @@ def main(argv=None):
     from marigold_tpu.utils.depth_transform import get_depth_normalizer
     from marigold_tpu.utils.logging_util import (
         config_logging,
+        init_wandb,
         is_on_slurm,
         get_local_scratch_dir,
+        load_wandb_job_id,
         log_slurm_job_id,
+        save_wandb_job_id,
         tb_logger,
     )
     from marigold_tpu.utils.seeding import seed_all
@@ -104,7 +107,10 @@ def main(argv=None):
         if args.add_datetime_prefix:
             run_name = f"{t_start.strftime('%y_%m_%d-%H_%M_%S')}-{run_name}"
         out_dir_run = os.path.join(args.output_dir or "output", run_name)
-        os.makedirs(out_dir_run, exist_ok=True)
+        # exist_ok=False like the reference (train.py:163): without the
+        # datetime prefix a rerun of the same config must not silently
+        # write into (and corrupt) the previous run's directory
+        os.makedirs(out_dir_run, exist_ok=False)
 
     out_dir_ckpt = os.path.join(out_dir_run, "checkpoint")
     out_dir_tb = os.path.join(out_dir_run, "tensorboard")
@@ -120,14 +126,9 @@ def main(argv=None):
     # wandb wrapping tensorboard, with run-ID persistence across resume
     # (reference train.py:185-210, logging_util.py:95-120; noop without
     # the package)
-    from marigold_tpu.utils.logging_util import (
-        init_wandb,
-        load_wandb_job_id,
-        save_wandb_job_id,
-    )
-
-    wandb_kwargs = dict(
-        project=cfg.get("wandb", {}).get("project", "marigold_tpu"),
+    wandb_kwargs = dict(cfg.get("wandb", {}) or {})  # project, entity, ...
+    wandb_kwargs.setdefault("project", "marigold_tpu")
+    wandb_kwargs.update(
         name=os.path.basename(out_dir_run),
         dir=out_dir_run,
         config={"entry": "train", "config": args.config},
@@ -137,7 +138,10 @@ def main(argv=None):
         if prev_id is not None:
             wandb_kwargs.update(id=prev_id, resume="must")
     wandb_run = init_wandb(enable=not args.no_wandb, **wandb_kwargs)
-    save_wandb_job_id(wandb_run, out_dir_run)
+    if not args.no_wandb:
+        # only a REAL run id may be persisted: a disabled-mode run carries
+        # a synthetic id that would poison a later resume="must"
+        save_wandb_job_id(wandb_run, out_dir_run)
     log_slurm_job_id()
 
     if resume_run is None:
