@@ -84,7 +84,10 @@ def main(argv=None):
         "normals": MarigoldNormalsPipeline,
         "iid": MarigoldIIDPipeline,
     }[args.modality]
-    pipe = cls.from_pretrained(args.checkpoint, dtype=jnp.bfloat16)
+    pipe = cls.from_pretrained(
+        args.checkpoint, dtype=jnp.bfloat16,
+        variant="fp16" if args.half_precision else None,
+    )
 
     out_npy = os.path.join(args.output_dir, f"{args.modality}_npy")
     os.makedirs(out_npy, exist_ok=True)

@@ -84,7 +84,10 @@ def _load_pipeline(args):
         "iid": MarigoldIIDPipeline,
     }[args.modality]
     dtype = jnp.float32 if args.full_precision else jnp.bfloat16
-    return cls.from_pretrained(args.checkpoint, dtype=dtype)
+    return cls.from_pretrained(
+        args.checkpoint, dtype=dtype,
+        variant=None if args.full_precision else "fp16",
+    )
 
 
 def _scan_new(watch_dir: str, seen: set) -> List[str]:

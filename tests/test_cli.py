@@ -225,3 +225,24 @@ def test_serve_once_depth(depth_ckpt, tmp_path, rng):
         assert pred.shape == (h, w)
         assert np.isfinite(pred).all()
         assert (out_dir / f"{name}_depth_bw.png").exists()
+
+
+def test_cli_train_rerun_does_not_overwrite_run_dir(tmp_path):
+    """Without the datetime prefix, a rerun of the same config must refuse
+    to reuse the previous run directory (reference train.py:163
+    exist_ok=False) instead of silently interleaving outputs."""
+    import pytest
+    import yaml
+
+    from marigold_tpu.cli.train import main as train_main
+
+    cfg_path = tmp_path / "myrun.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"trainer": {"name": "MarigoldDepthTrainer"}}, f)
+    out_dir = tmp_path / "out"
+    os.makedirs(out_dir / "myrun")  # simulate a previous run's directory
+    with pytest.raises(FileExistsError):
+        train_main([
+            "--config", str(cfg_path), "--output_dir", str(out_dir),
+            "--no_val",
+        ])
