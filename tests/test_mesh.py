@@ -422,3 +422,34 @@ def test_spatial_pipeline_normals_matches_single_device(tmp_path_factory, rng):
     np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-3)
     norms = np.linalg.norm(b, axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_spatial_pipeline_with_h_padding(depth_ckpt, rng):
+    """Spatial mode where the input H (300) is NOT on the 64*n grid: the
+    pipeline pads H to 512 (edge mode), the mask keeps the padding out of
+    the ensemble statistics, and the crop-back returns the original
+    geometry. Width is odd-ish (56) to exercise the W-local crop path.
+
+    Output VALUES differ from the unsharded run by construction — the
+    extra padded rows join global self-attention at every level (the same
+    documented property as shape bucketing, pipelines/base.py) — so this
+    asserts the padding-path mechanics, not pixel equivalence (which
+    tests the grid-aligned case above).."""
+    from marigold_tpu import MarigoldDepthPipeline
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (300, 56, 3), dtype=np.uint8), "RGB"
+    )
+    kw = dict(
+        denoising_steps=1, ensemble_size=2, processing_res=0, seed=3,
+        show_progress_bar=False, color_map=None,
+        ensemble_kwargs=dict(scale_invariant=False, shift_invariant=False),
+    )
+    pipe8 = MarigoldDepthPipeline.from_pretrained(
+        depth_ckpt, dtype=jnp.float32, mesh=get_mesh(8)
+    )
+    out = pipe8(img, spatial=True, **kw)
+    b = out.depth_np
+    assert b.shape == (300, 56)
+    assert np.isfinite(b).all() and 0.0 <= b.min() and b.max() <= 1.0
+    assert out.uncertainty is not None and out.uncertainty.shape == (300, 56)
