@@ -195,7 +195,7 @@ class DiffusionSchedule:
             "timestep_spacing": self.timestep_spacing,
             "steps_offset": self.steps_offset,
             "rescale_betas_zero_snr": self.rescaled_zero_snr,
-            "set_alpha_to_one": False,
+            "set_alpha_to_one": bool(self.final_alpha_cumprod == 1.0),
             "clip_sample": False,
         }
 

@@ -194,15 +194,14 @@ def ensemble_depth(
         # penalty) still needs real maps; it is evaluated on a <=256px
         # nearest-downsampled copy — it only nudges the solution at 0.02
         # strength.
-        flat_stats = small.reshape(E, -1)
         if m_small is not None:
-            fm = flat_stats * m_flat
+            fm = flat * m_flat
             gram = fm @ fm.T / n_valid  # [E,E] over valid pixels only
             mean_d = jnp.sum(fm, axis=1) / n_valid  # [E]
         else:
-            n_px = flat_stats.shape[1]
-            gram = flat_stats @ flat_stats.T / n_px  # [E,E]
-            mean_d = jnp.mean(flat_stats, axis=1)  # [E]
+            n_px = flat.shape[1]
+            gram = flat @ flat.T / n_px  # [E,E]
+            mean_d = jnp.mean(flat, axis=1)  # [E]
         # The regularizer is the expensive term on device: every cost eval
         # median-reduces real maps (and its VJP scatters through the sort),
         # where the pairwise term runs in microseconds on the Gram stats.
@@ -258,6 +257,15 @@ def ensemble_depth(
         depth = apply_align(depth, param)
 
     pred, uncertainty = _reduce(depth, reduction, output_uncertainty)
+
+    if not (scale_invariant or shift_invariant):
+        # metric depth: members are already in a common absolute frame
+        # (no alignment ran), and renormalizing to [0,1] would destroy
+        # the scale the caller asked to preserve. (The reference rejects
+        # this combination outright, ensemble.py:63-70; accepting it with
+        # values passed through is this framework's documented extension
+        # for pre-aligned members.)
+        return pred, uncertainty
 
     if mask is not None:
         big = jnp.asarray(jnp.inf, pred.dtype)

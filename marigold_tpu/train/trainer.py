@@ -17,6 +17,7 @@ orchestrates checkpoints/validation.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from datetime import datetime
@@ -95,53 +96,29 @@ class MarigoldTrainerBase:
         unet_params_f32 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), self.core.unet_params
         )
-        self.state = create_train_state(unet_params_f32, self.optimizer)
         self.state_shardings = None
+        if mesh is not None and bool(opt_cfg.get("shard_states", False)):
+            # ZeRO-1: shard Adam m/v + accumulator over the mesh so
+            # reference-parity Adam fits at SD2 scale (>=2 chips); the
+            # layout comes from shapes only (eval_shape) and the init runs
+            # under jit with sharded out_shardings, so the full unsharded
+            # ~14 GB fp32 state never materializes on one chip
+            from marigold_tpu.train.train_step import zero1_state_shardings
+
+            self.state_shardings = zero1_state_shardings(
+                mesh,
+                jax.eval_shape(
+                    lambda p: create_train_state(p, self.optimizer),
+                    unet_params_f32,
+                ),
+            )
+        self.state = self._init_state(unet_params_f32)
         if mesh is not None:
-            # data-parallel training: params replicated, per-step batch
-            # sharded along the leading dim; XLA inserts the psum gradient
-            # all-reduce from the sharding annotations (SURVEY.md §2.6)
             from marigold_tpu.parallel.mesh import replicate
 
-            if bool(opt_cfg.get("shard_states", False)):
-                # ZeRO-1: shard Adam m/v + accumulator over the mesh so
-                # reference-parity Adam fits at SD2 scale (>=2 chips);
-                # see train_step.zero1_state_shardings
-                from marigold_tpu.train.train_step import zero1_state_shardings
-
-                self.state_shardings = zero1_state_shardings(mesh, self.state)
-                self.state = jax.device_put(self.state, self.state_shardings)
-            else:
-                self.state = replicate(mesh, self.state)
             self.core.vae_params = replicate(mesh, self.core.vae_params)
 
-        mrn = cfg.get("multi_res_noise")
-        # donate the state: at SD2 scale the fp32 Adam(+accum) state is
-        # ~14 GB — without donation the update transiently holds old+new
-        # copies and OOMs a 16 GB chip
-        _step_fn = make_train_step(
-            self.core.unet_cfg,
-            self.core.vae_cfg,
-            self.core.schedule,
-            self.optimizer,
-            loss_name=cfg.loss.name,
-            multi_res_noise_cfg=dict(mrn) if mrn else None,
-            use_mask=cfg.get("gt_mask_type") is not None,
-            compute_dtype=self.core.dtype,
-            remat=bool(cfg.trainer.get("remat", False)),
-        )
-        jit_kwargs = {}
-        if self.state_shardings is not None:
-            # pin the output state to the ZeRO-1 layout (metrics replicated)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            jit_kwargs["out_shardings"] = (
-                self.state_shardings,
-                NamedSharding(mesh, P()),
-            )
-        self.train_step = jax.jit(
-            _step_fn, donate_argnums=(0,), **jit_kwargs
-        )
+        self._build_train_step()
 
         # trainer state (reference naming)
         self.effective_iter = 0
@@ -160,6 +137,7 @@ class MarigoldTrainerBase:
         self.gt_mask_type = cfg.get("gt_mask_type")
 
         init_seed = cfg.trainer.get("init_seed")
+        self._seed_refills = 0
         self.global_seed_sequence: list = (
             generate_seed_sequence(init_seed, self.max_iter * max(
                 self.accumulation_steps, 1))
@@ -172,20 +150,77 @@ class MarigoldTrainerBase:
     def _apply_surgery(self):
         raise NotImplementedError
 
+    def _init_state(self, params_f32):
+        """Fresh TrainState in the trainer's mesh layout. With ZeRO-1 the
+        optimizer init runs under jit with sharded out_shardings — shards
+        are allocated directly, never the full state on one chip."""
+        if self.state_shardings is not None:
+            init_fn = jax.jit(
+                lambda p: create_train_state(p, self.optimizer),
+                out_shardings=self.state_shardings,
+            )
+            return init_fn(params_f32)
+        state = create_train_state(params_f32, self.optimizer)
+        if self.mesh is not None:
+            from marigold_tpu.parallel.mesh import replicate
+
+            state = replicate(self.mesh, state)
+        return state
+
+    def _build_train_step(self):
+        """(Re)build the jitted train step from the CURRENT core
+        schedule/config — called at init and after load_checkpoint, whose
+        checkpoint may carry a different scheduler config (the closure
+        bakes schedule/unet_cfg in). Donates the state: at SD2 scale the
+        fp32 Adam(+accum) state is ~14 GB — without donation the update
+        transiently holds old+new copies and OOMs a 16 GB chip."""
+        cfg = self.cfg
+        mrn = cfg.get("multi_res_noise")
+        _step_fn = make_train_step(
+            self.core.unet_cfg,
+            self.core.vae_cfg,
+            self.core.schedule,
+            self.optimizer,
+            loss_name=cfg.loss.name,
+            multi_res_noise_cfg=dict(mrn) if mrn else None,
+            use_mask=cfg.get("gt_mask_type") is not None,
+            compute_dtype=self.core.dtype,
+            remat=bool(cfg.trainer.get("remat", False)),
+        )
+        jit_kwargs = {}
+        if self.state_shardings is not None:
+            # pin the output state to the ZeRO-1 layout (metrics replicated)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            jit_kwargs["out_shardings"] = (
+                self.state_shardings,
+                NamedSharding(self.mesh, P()),
+            )
+        self.train_step = jax.jit(
+            _step_fn, donate_argnums=(0,), **jit_kwargs
+        )
+
     def _assemble_batch(self, batch) -> dict:
         """-> {rgb_norm [B,H,W,3], gt_norm [B,H,W,3k], valid_mask?}"""
         raise NotImplementedError
 
-    def _next_seed(self) -> Optional[int]:
-        if self.global_seed_sequence:
-            return self.global_seed_sequence.pop()
-        return None
+    def _next_seed(self) -> int:
+        if not self.global_seed_sequence:
+            # regenerate deterministically (reference _get_next_seed
+            # refills from init_seed when empty, seeding.py:47-64). A
+            # per-process np.random fallback would silently diverge the
+            # replicated state across hosts in multi-host SPMD runs —
+            # every process must derive the SAME key stream.
+            base = self.cfg.trainer.get("init_seed") or 0
+            self._seed_refills += 1
+            chunk = max(self.max_iter, 1) * max(self.accumulation_steps, 1)
+            self.global_seed_sequence = generate_seed_sequence(
+                int(base) + 1_000_003 * self._seed_refills, chunk
+            )
+        return self.global_seed_sequence.pop()
 
     def _step_key(self):
-        seed = self._next_seed()
-        if seed is None:
-            return jax.random.PRNGKey(np.random.randint(0, 2**31))
-        return key_from_seed(seed)
+        return key_from_seed(self._next_seed())
 
     # ------------------------------------------------------------------ #
 
@@ -233,15 +268,24 @@ class MarigoldTrainerBase:
                     batch_dev,
                     key,
                 )
+                # device-side accumulation (no host sync per micro-batch);
+                # the logged loss is the effective-batch mean like the
+                # reference's accumulated loss, and a NaN in ANY
+                # micro-batch of the window propagates into it
+                window_loss = (
+                    step_metrics["loss"] if accumulated_step == 0
+                    else window_loss + step_metrics["loss"]
+                )
                 accumulated_step += 1
                 self.n_batch_in_epoch += 1
 
                 if accumulated_step >= self.accumulation_steps:
+                    loss = float(window_loss) / accumulated_step
                     accumulated_step = 0
                     self.effective_iter += 1
-                    loss = float(step_metrics["loss"])
                     if not np.isfinite(loss):
                         logger.warning(f"non-finite loss at iter {self.effective_iter}")
+
                     tb_logger.log_dict(
                         {"train/loss": loss,
                          "train/grad_norm": float(step_metrics["grad_norm"])},
@@ -276,6 +320,10 @@ class MarigoldTrainerBase:
                         return
             self.epoch += 1
             self.n_batch_in_epoch = 0
+        # epoch budget exhausted before max_iter: persist the final state
+        # (the max_iter and t_end exits above each save; this path must too)
+        self.save_checkpoint("latest", save_train_state=True)
+        logger.info("Training ended (max_epoch reached).")
 
     # ------------------------------------------------------------------ #
 
@@ -414,22 +462,35 @@ class MarigoldTrainerBase:
             ckpt_dir, self.state.opt_state if load_trainer_state else None
         )
         self.core.unet_cfg = unet_cfg
+        if schedule is not None:
+            # the checkpoint's scheduler config is authoritative on resume
+            # (it may differ from the in-memory default, e.g.
+            # prediction_type); the step fn is rebuilt below because the
+            # schedule/unet_cfg are baked into its closure
+            self.core.schedule = schedule
         params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), unet_params
         )
-        self.state = TrainState(
-            step=jnp.asarray(trainer_state.get("step", 0), jnp.int32),
-            params=params,
-            opt_state=opt_state if opt_state is not None else self.optimizer.init(params),
-        )
-        if self.mesh is not None:
-            # restore the mesh layout (replicated, or ZeRO-1 if sharded)
-            if self.state_shardings is not None:
-                self.state = jax.device_put(self.state, self.state_shardings)
-            else:
-                from marigold_tpu.parallel.mesh import replicate
+        if opt_state is None:
+            self.state = dataclasses.replace(
+                self._init_state(params),
+                step=jnp.asarray(trainer_state.get("step", 0), jnp.int32),
+            )
+        else:
+            self.state = TrainState(
+                step=jnp.asarray(trainer_state.get("step", 0), jnp.int32),
+                params=params,
+                opt_state=opt_state,
+            )
+            if self.mesh is not None:
+                # restore the mesh layout (replicated, or ZeRO-1)
+                if self.state_shardings is not None:
+                    self.state = jax.device_put(self.state, self.state_shardings)
+                else:
+                    from marigold_tpu.parallel.mesh import replicate
 
-                self.state = replicate(self.mesh, self.state)
+                    self.state = replicate(self.mesh, self.state)
+        self._build_train_step()
         if load_trainer_state:
             self.effective_iter = trainer_state["effective_iter"]
             self.epoch = trainer_state["epoch"]
@@ -456,14 +517,16 @@ class MarigoldDepthTrainer(MarigoldTrainerBase):
         gt_type = self.cfg.get("gt_depth_type", "depth_raw_norm")
         depth = np.asarray(batch[gt_type], np.float32)  # [B,H,W,1]
         gt3 = np.repeat(depth, 3, axis=-1)  # stack_depth_images (ref :415-421)
+        # numpy, not device arrays: single-host jit uploads once; the
+        # multi-host path (mesh.global_batch_from_local) consumes host
+        # buffers directly — a jnp.asarray here forced a device->host->
+        # device round trip per step
         out = {
-            "rgb_norm": jnp.asarray(batch["rgb_norm"], jnp.float32),
-            "gt_norm": jnp.asarray(gt3),
+            "rgb_norm": np.asarray(batch["rgb_norm"], np.float32),
+            "gt_norm": gt3,
         }
         if self.gt_mask_type is not None:
-            out["valid_mask"] = jnp.asarray(
-                np.asarray(batch[self.gt_mask_type], bool)
-            )
+            out["valid_mask"] = np.asarray(batch[self.gt_mask_type], bool)
         return out
 
     def validate_single_dataset(self, val_loader) -> dict:

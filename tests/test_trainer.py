@@ -302,3 +302,57 @@ def test_adafactor_remat_training_path(sd2_ckpt, tmp_path, rng):
     assert trainer.effective_iter == 3
     leaves = jax.tree_util.tree_leaves(trainer.state.params)
     assert all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
+
+
+def test_depth_trainer_zero1_sharded_optimizer(sd2_ckpt, tmp_path, rng):
+    """Trainer-level ZeRO-1 (optimizer.shard_states): the state must come
+    up ALREADY sharded (the init runs under jit with sharded
+    out_shardings — the full state never materializes on one device) and
+    one training run must complete with finite params."""
+    from marigold_tpu import MarigoldDepthPipeline
+    from marigold_tpu.parallel.mesh import get_mesh
+    from marigold_tpu.train.trainer import MarigoldDepthTrainer
+
+    root, split = _make_depth_dataset(tmp_path, rng)
+    norm = get_depth_normalizer(
+        {"type": "scale_shift_depth", "norm_min": -1.0, "norm_max": 1.0,
+         "min_max_quantile": 0.02, "clip": True}
+    )
+    ds = get_dataset(
+        Config(name="nyu_depth", dir=".", filenames=split, disp_name="tiny_nyu",
+               eigen_valid_mask=False),
+        base_data_dir=root, mode=DatasetMode.TRAIN,
+        depth_transform=norm, augmentation_args=None,
+    )
+    sampler = MixedBatchSampler([ds], batch_size=2, shuffle=True)
+    train_loader = DataLoader(ConcatDataset([ds]), batch_sampler=sampler)
+
+    mesh = get_mesh(2)
+    pipe = MarigoldDepthPipeline.from_pretrained(sd2_ckpt, dtype=jnp.float32)
+    cfg = _trainer_cfg(max_iter=2)
+    cfg.trainer.validation_period = 0
+    cfg.trainer.backup_period = 0
+    cfg["optimizer"] = Config(name="adam", shard_states=True)
+    trainer = MarigoldDepthTrainer(
+        cfg=cfg,
+        model=pipe,
+        train_dataloader=train_loader,
+        out_dir_ckpt=str(tmp_path / "ckpt"),
+        out_dir_eval=str(tmp_path / "eval"),
+        out_dir_vis=str(tmp_path / "vis"),
+        accumulation_steps=2,
+        val_dataloaders=[],
+        vis_dataloaders=[],
+        mesh=mesh,
+    )
+    big = [
+        leaf for leaf in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if hasattr(leaf, "sharding") and leaf.size >= 2
+    ]
+    assert any(not leaf.sharding.is_fully_replicated for leaf in big), (
+        "ZeRO-1 opt state came up fully replicated"
+    )
+    trainer.train()
+    assert trainer.effective_iter == 2
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
