@@ -226,6 +226,10 @@ def main(argv=None):
     train_loader = DataLoader(
         concat, batch_sampler=sampler,
         num_workers=int(cfg.dataloader.get("num_workers", 0)),
+        # per-batch augmentation seeds derive from this (loader.py's
+        # determinism contract); without it, seeded runs reproduced the
+        # batch ORDER but not the augmentations
+        seed=loader_seed,
     )
 
     def _mk_eval_loaders(split):

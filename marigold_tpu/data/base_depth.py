@@ -50,7 +50,15 @@ def nearest_resize(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
 
 
 def bilinear_resize(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
-    """Bilinear resize for [H,W,C] float arrays (host-side, PIL-backed)."""
+    """Bilinear resize for [H,W,C] float arrays (host-side, PIL-backed).
+
+    Deliberately NOT pipelines.image_util.resize_np (which routes through
+    jax and is the torchvision-antialiased-parity path): this runs inside
+    forked dataloader workers, where touching jax means per-process
+    backend init + per-shape compiles. PIL's BILINEAR applies the same
+    antialiased triangle filter torchvision's default (antialias=True)
+    uses — the filter the reference's train-time Resize applies
+    (base_normals_dataset.py:186-190)."""
     from PIL import Image as PILImage
 
     arr = np.asarray(img, np.float32)

@@ -4,6 +4,15 @@ Role parity: torch DataLoader + the reference's `skip_first_batches`
 mid-epoch-resume helper (src/util/data_loader.py:54-140). The host is the
 bottleneck-free side on TPU (single Python process feeding one chip over a
 queue); a background thread prefetches while the device computes.
+
+Determinism contract: when constructed with a seed, every batch carries a
+per-batch augmentation seed drawn from the loader's rng for the FULL epoch
+(before any `skip_first_batches`), and that seed is restored into the
+`random`/`np.random` state before the batch's samples are assembled — in
+both the 0-worker thread path and the forked-worker path. So seeded runs
+reproduce their augmentations exactly, a resumed run replays the same
+seeds the uninterrupted run would have used for the remaining batches, and
+0-worker and N-worker runs see the same augmentation stream.
 """
 
 from __future__ import annotations
@@ -17,17 +26,36 @@ import numpy as np
 
 
 _WORKER_DATASET_COLLATE = None  # set before fork; inherited by workers
+_WORKER_HANDLES_RESET = False  # per-forked-process flag
+
+
+def _reset_inherited_io(dataset) -> None:
+    """Close tar handles inherited through fork so each worker reopens its
+    own. The native tario reader uses pread (fork-safe), but the tarfile
+    fallback seeks a shared OS file offset — two processes interleaving
+    seek+read corrupt member bytes. Walks ConcatDataset-style wrappers."""
+    for ds in getattr(dataset, "datasets", [dataset]):
+        tar = getattr(ds, "tar_obj", None)
+        if tar is not None:
+            try:
+                tar.close()
+            except Exception:
+                pass
+            ds.tar_obj = None
 
 
 def _assemble_batch_worker(args):
     batch_idx, seed = args
+    global _WORKER_HANDLES_RESET
+    dataset, collate_fn = _WORKER_DATASET_COLLATE
+    if not _WORKER_HANDLES_RESET:
+        _reset_inherited_io(dataset)
+        _WORKER_HANDLES_RESET = True
     # deterministic augmentations: forked children are reseeded from OS
-    # entropy by CPython's at-fork hook, so restore a per-batch seed
-    # derived from the loader's rng (the torch-DataLoader worker-seeding
-    # role)
+    # entropy by CPython's at-fork hook, so restore the per-batch seed
+    # (the torch-DataLoader worker-seeding role)
     random.seed(seed)
     np.random.seed(seed % (2**32))
-    dataset, collate_fn = _WORKER_DATASET_COLLATE
     return collate_fn([dataset[i] for i in batch_idx])
 
 
@@ -105,45 +133,74 @@ class DataLoader:
     def __iter__(self):
         skip = self._skip
         self._skip = 0
-        batch_lists = [b for bi, b in enumerate(self._batches()) if bi >= skip]
+        all_batches = list(self._batches())
+        # seeds drawn for the FULL epoch, then skipped alongside batches:
+        # a resumed epoch replays the seeds the uninterrupted run would
+        # have used for the remaining batches, and the rng leaves the
+        # epoch in the same state either way
+        all_seeds = [self.rng.randrange(2**31) for _ in all_batches]
+        batch_lists = all_batches[skip:]
+        seeds = all_seeds[skip:]
 
         if self.num_workers > 0:
-            yield from self._iter_workers(batch_lists)
+            yield from self._iter_workers(batch_lists, seeds)
             return
+
+        stop = threading.Event()
+
+        def put_or_abandon(q, item) -> bool:
+            """Bounded put that notices an abandoned consumer — a plain
+            q.put would block forever and leak this thread (plus its
+            queued batches) when the consumer breaks out early."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce(q: queue.Queue):
             try:
-                for batch_idx in batch_lists:
+                for batch_idx, seed in zip(batch_lists, seeds):
+                    # same per-batch seeding as the worker path (the
+                    # augmentations read the process-global random/
+                    # np.random; the trainer itself uses jax PRNG keys,
+                    # so the globals are the loader's to manage)
+                    random.seed(seed)
+                    np.random.seed(seed % (2**32))
                     samples = [self.dataset[i] for i in batch_idx]
-                    q.put(("item", self.collate_fn(samples)))
+                    if not put_or_abandon(q, ("item", self.collate_fn(samples))):
+                        return
             except Exception as e:  # propagate to consumer
-                q.put(("error", e))
+                if not put_or_abandon(q, ("error", e)):
+                    return
             finally:
-                q.put(("end", None))
+                put_or_abandon(q, ("end", None))
 
         q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            kind, payload = q.get()
-            if kind == "item":
-                yield payload
-            elif kind == "error":
-                raise payload
-            else:
-                return
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "item":
+                    yield payload
+                elif kind == "error":
+                    raise payload
+                else:
+                    return
+        finally:
+            stop.set()
 
-    def _iter_workers(self, batch_lists):
+    def _iter_workers(self, batch_lists, seeds):
         """Forked worker pool assembling whole batches in order, with a
         bounded submission window (num_workers + prefetch outstanding) so
         finished batches cannot pile up in host RAM when the consumer
         pauses (e.g. during a multi-minute validation pass).
 
-        Each batch carries a seed drawn from the loader's rng, restored in
-        the worker before assembly, so seeded runs reproduce their
-        augmentations (forked children are otherwise reseeded from OS
-        entropy). Caveat (shared with torch's fork-based workers): fork
-        after accelerator-runtime initialization can inherit locks held by
+        Caveat (shared with torch's fork-based workers): fork after
+        accelerator-runtime initialization can inherit locks held by
         runtime threads; the training CLI iterates the loader only from
         the host thread between device steps, which is the supported
         pattern."""
@@ -152,21 +209,25 @@ class DataLoader:
         from collections import deque
 
         ctx = mp.get_context("fork")
-        seeds = [self.rng.randrange(2**31) for _ in batch_lists]
         global _WORKER_DATASET_COLLATE
         _WORKER_DATASET_COLLATE = (self.dataset, self.collate_fn)
         window = self.num_workers + max(self.prefetch, 1)
-        with ctx.Pool(self.num_workers) as pool:
-            work = iter(zip(batch_lists, seeds))
-            pending = deque(
-                pool.apply_async(_assemble_batch_worker, (a,))
-                for a in itertools.islice(work, window)
-            )
-            while pending:
-                batch = pending.popleft().get()
-                nxt = next(work, None)
-                if nxt is not None:
-                    pending.append(
-                        pool.apply_async(_assemble_batch_worker, (nxt,))
-                    )
-                yield batch
+        try:
+            with ctx.Pool(self.num_workers) as pool:
+                work = iter(zip(batch_lists, seeds))
+                pending = deque(
+                    pool.apply_async(_assemble_batch_worker, (a,))
+                    for a in itertools.islice(work, window)
+                )
+                while pending:
+                    batch = pending.popleft().get()
+                    nxt = next(work, None)
+                    if nxt is not None:
+                        pending.append(
+                            pool.apply_async(_assemble_batch_worker, (nxt,))
+                        )
+                    yield batch
+        finally:
+            # release the dataset reference (tar handles, caches) once the
+            # pool is gone — workers only needed it at fork time
+            _WORKER_DATASET_COLLATE = None

@@ -42,6 +42,12 @@ def align_depth_least_square(
 
     gt_m = gt_s[valid_s].reshape(-1, 1)
     pred_m = pred_s[valid_s].reshape(-1, 1)
+    if gt_m.size == 0:
+        # an empty lstsq silently returns scale=shift=0 and an all-zero
+        # "aligned" map whose garbage metrics would enter the benchmark
+        raise ValueError(
+            "align_depth_least_square: no valid pixels in the mask"
+        )
 
     A = np.concatenate([pred_m, np.ones_like(pred_m)], axis=-1)
     X = np.linalg.lstsq(A, gt_m, rcond=None)[0]

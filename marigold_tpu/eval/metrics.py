@@ -74,7 +74,12 @@ def _prep(output, target, valid_mask):
 def _masked_image_mean(x, valid_mask):
     x = np.where(valid_mask, x, 0.0)
     n = valid_mask.sum(axis=(-1, -2))
-    return x.sum(axis=(-1, -2)) / np.maximum(n, 1)
+    with np.errstate(invalid="ignore"):
+        # an all-invalid image yields NaN (reference divides by n and
+        # propagates it) — a silent 0 would average a fake perfect score
+        # into the benchmark
+        return np.where(n > 0, x.sum(axis=(-1, -2)) / np.maximum(n, 1),
+                        np.nan)
 
 
 def abs_relative_difference(output, target, valid_mask=None):
@@ -174,8 +179,18 @@ def compute_cosine_error(pred_norm, gt_norm, masked=False):
     pred = np.asarray(pred_norm, np.float64)
     gt = np.asarray(gt_norm, np.float64)
     if pred.ndim == 4:
+        if pred.shape[0] != 1:
+            raise ValueError(
+                f"compute_cosine_error is per-image; got a batch of "
+                f"{pred.shape[0]} (loop over images instead)"
+            )
         pred = pred[0]
     if gt.ndim == 4:
+        if gt.shape[0] != 1:
+            raise ValueError(
+                f"compute_cosine_error is per-image; got a batch of "
+                f"{gt.shape[0]} (loop over images instead)"
+            )
         gt = gt[0]
     if pred.shape[0] == 3 and pred.shape[-1] != 3:  # CHW -> HWC
         pred = np.moveaxis(pred, 0, -1)
