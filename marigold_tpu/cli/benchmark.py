@@ -22,37 +22,45 @@ import argparse
 import logging
 import os
 
-# benchmark name -> (dataset_config, protocol overrides)
+# benchmark name -> (dataset_config, infer overrides, eval flags)
 DEPTH_PROTOCOLS = {
-    "nyu": ("config/dataset_depth/data_nyu_test.yaml", dict(processing_res=0)),
+    "nyu": ("config/dataset_depth/data_nyu_test.yaml",
+            dict(processing_res=0), []),
     "kitti": ("config/dataset_depth/data_kitti_eigen_test.yaml",
-              dict(processing_res=0)),
-    "eth3d": ("config/dataset_depth/data_eth3d.yaml", dict(processing_res=756)),
+              dict(processing_res=0), []),
+    # ETH3D pins the LS-alignment solve resolution
+    # (reference 32_eval_eth3d.sh:13)
+    "eth3d": ("config/dataset_depth/data_eth3d.yaml",
+              dict(processing_res=756), ["--alignment_max_res", "1024"]),
     "scannet": ("config/dataset_depth/data_scannet_val.yaml",
-                dict(processing_res=0)),
+                dict(processing_res=0), []),
     "diode": ("config/dataset_depth/data_diode_all.yaml",
-              dict(processing_res=640)),
+              dict(processing_res=640), []),
 }
 NORMALS_PROTOCOLS = {
     "scannet": ("config/dataset_normals/data_scannet_test.yaml",
-                dict(processing_res=640)),
+                dict(processing_res=640), []),
     "nyu": ("config/dataset_normals/data_nyu_test.yaml",
-            dict(processing_res=640)),
+            dict(processing_res=640), []),
     "ibims": ("config/dataset_normals/data_ibims_test.yaml",
-              dict(processing_res=640)),
+              dict(processing_res=640), []),
     "diode": ("config/dataset_normals/data_diode_test.yaml",
-              dict(processing_res=768)),
+              dict(processing_res=768), []),
     "oasis": ("config/dataset_normals/data_oasis_test.yaml",
-              dict(processing_res=768)),
+              dict(processing_res=768), []),
 }
 IID_PROTOCOLS = {
+    # material is evaluated in linear space (reference
+    # 12_eval_appearance_interiorverse.sh:13)
     "appearance_interiorverse": (
         "config/dataset_iid/data_appearance_interiorverse_test.yaml",
         dict(processing_res=640),
+        ["--targets_to_eval_in_linear_space", "material"],
     ),
     "lighting_hypersim": (
         "config/dataset_iid/data_lighting_hypersim_test.yaml",
         dict(processing_res=0),
+        [],
     ),
 }
 
@@ -83,6 +91,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--skip_infer", action="store_true",
                    help="Only evaluate existing predictions.")
+    p.add_argument("--overwrite", action="store_true",
+                   help="Re-infer over existing prediction files (without "
+                        "this, stale predictions from an earlier run with "
+                        "different settings would be silently reused).")
     p.add_argument("--old_protocol", action="store_true",
                    help="CVPR v1-0 depth protocol (50 steps).")
     p.add_argument("--limit", type=int, default=0,
@@ -109,6 +121,12 @@ def main(argv=None):
 
     table = PROTOCOLS[args.modality]
     names = list(table) if args.benchmark == "all" else [args.benchmark]
+    unknown = [n for n in names if n not in table]
+    if unknown:
+        raise SystemExit(
+            f"unknown --benchmark {unknown} for modality "
+            f"{args.modality!r}; valid: {sorted(table)} or 'all'"
+        )
     defaults = dict(DEFAULTS[args.modality])
     if args.old_protocol and args.modality == "depth":
         defaults["denoise_steps"] = 50
@@ -118,7 +136,7 @@ def main(argv=None):
 
     results = {}
     for name in names:
-        cfg_path, overrides = table[name]
+        cfg_path, overrides, eval_flags = table[name]
         proto = dict(defaults, **overrides)
         if args.processing_res is not None:  # CLI beats the protocol pin
             proto["processing_res"] = args.processing_res
@@ -128,6 +146,7 @@ def main(argv=None):
         logging.info(f"=== {args.modality}/{name}: {proto} ===")
 
         limit = ["--limit", str(args.limit)] if args.limit > 0 else []
+        overwrite = ["--overwrite"] if args.overwrite else []
         if not args.skip_infer:
             rc = infer_main([
                 "--modality", args.modality,
@@ -139,7 +158,7 @@ def main(argv=None):
                 "--ensemble_size", str(proto["ensemble_size"]),
                 "--processing_res", str(proto["processing_res"]),
                 "--seed", str(proto["seed"]),
-            ] + limit)
+            ] + limit + overwrite)
             if rc != 0:
                 return rc
         rc = eval_main([
@@ -150,7 +169,7 @@ def main(argv=None):
                 pred_dir, f"{args.modality}_npy"
             ),
             "--output_dir", metric_dir,
-        ] + limit)
+        ] + limit + eval_flags)
         if rc != 0:
             return rc
         results[name] = metric_dir

@@ -44,6 +44,14 @@ class LCMSchedule:
         return cls(base=base, **kw)
 
     def inference_timesteps(self, num_inference_steps: int) -> np.ndarray:
+        if num_inference_steps > self.original_inference_steps:
+            # diffusers LCMScheduler.set_timesteps raises here too; the
+            # grid only has original_inference_steps entries, and silently
+            # running fewer steps than requested would misattribute results
+            raise ValueError(
+                f"num_inference_steps ({num_inference_steps}) cannot exceed "
+                f"original_inference_steps ({self.original_inference_steps})"
+            )
         T = self.base.num_train_timesteps
         k = T // self.original_inference_steps
         # training grid: t = k*i + k - 1 for i in 0..origin_steps-1

@@ -2,7 +2,7 @@
 
 Behavioral reference: src/dataset/mixed_sampler.py:39-118 — each batch is
 drawn wholly from ONE source dataset, chosen by multinomial probability
-(`prob_ls`, or proportional to dataset sizes); indices are shifted to the
+(`prob_ls`, or proportional to per-dataset batch counts); indices are shifted to the
 concatenated index space; per-dataset batch queues are regenerated (with
 reshuffling) when exhausted, so one epoch ends when `len(self)` batches
 were served.
@@ -62,6 +62,13 @@ class MixedBatchSampler:
         # batches per dataset per epoch
         self.n_batches = [n // self.batch_size for n in self.dataset_length]
 
+        if sum(self.n_batches) == 0:
+            raise ValueError(
+                "MixedBatchSampler: every dataset is smaller than "
+                f"batch_size={batch_size} (dataset sizes "
+                f"{[len(d) for d in datasets]}) — no full batch can be "
+                "drawn"
+            )
         if prob is None:
             # proportional to dataset batch counts (reference default)
             total = sum(self.n_batches)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Any, Callable, Mapping
+from typing import Any, Mapping
 
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +70,30 @@ def load_safetensors_flat(
             want = [f for f in names if pat.search(f)]
         else:
             want = [f for f in names if not is_var(f)]
+        if not want:
+            # fallback: nothing matched (variant-only dir, or requested
+            # variant absent). If MULTIPLE variants coexist, identical
+            # keys would overwrite in filename-sort order — pick the
+            # first variant group deterministically and say so.
+            variants = sorted({
+                m.group(1) for f in names
+                for m in [re.search(r"\.(fp16|bf16|fp32)" + shard, f)]
+                if m
+            })
+            if len(variants) > 1:
+                import logging
+
+                chosen = variants[0]
+                logging.getLogger(__name__).warning(
+                    "no %s weights under %s; multiple variants %s present "
+                    "— loading %r",
+                    "plain" if variant is None else repr(variant),
+                    path, variants, chosen,
+                )
+                want = [
+                    f for f in names
+                    if re.search(re.escape(f".{chosen}") + shard, f)
+                ]
         files = sorted(os.path.join(path, f) for f in (want or names))
     if not files:
         raise FileNotFoundError(f"no .safetensors files under {path}")

@@ -240,6 +240,10 @@ class DiffusionCore:
 
         def denoise_decode(unet_params, vae_params, rgb_lat, noise, text,
                            lcm_key=None, spatial_axis=None):
+            # NOTE: lcm_key must already be chunk-distinct when chunked
+            # (see the fold_in at the lax.map below) — folding only the
+            # step index would hand every chunk identical "fresh" noise
+            # and correlate ensemble members across chunks
             eb = noise.shape[0]
             rgb_b = jnp.broadcast_to(rgb_lat, (eb,) + rgb_lat.shape[1:]).astype(
                 self.dtype
@@ -355,11 +359,14 @@ class DiffusionCore:
                 )
             else:
                 chunks = noise.reshape((n_chunks, chunk) + noise.shape[1:])
+                chunk_ids = jnp.arange(n_chunks, dtype=jnp.uint32)
                 preds = jax.lax.map(
-                    lambda nz: denoise_decode(
-                        unet_params, vae_params, rgb_lat, nz, text, key_lcm
+                    lambda args: denoise_decode(
+                        unet_params, vae_params, rgb_lat, args[0], text,
+                        (jax.random.fold_in(key_lcm, args[1])
+                         if key_lcm is not None else None),
                     ),
-                    chunks,
+                    (chunks, chunk_ids),
                 )
                 preds = preds.reshape((e_pad,) + preds.shape[2:])
             if mesh is not None:
