@@ -151,12 +151,12 @@ def main(argv=None):
     t0 = time.time()
     for i in range(len(dataset)):
         sample = dataset[i]
-        rgb_int = np.asarray(sample["rgb_int"], np.uint8)
         rel = sample["rgb_relative_path"]
         base = os.path.basename(rel)
         scene = os.path.dirname(rel).replace(os.sep, "_")
 
         if args.modality == "depth":
+            rgb_int = np.asarray(sample["rgb_int"], np.uint8)
             pred_name = get_pred_name(base, dataset.name_mode, suffix=".npy")
             save_to = os.path.join(
                 out_npy, (scene + "_" if scene else "") + pred_name
@@ -166,23 +166,33 @@ def main(argv=None):
             out = pipe(rgb_int, color_map=None, **common)
             np.save(save_to, out.depth_np)
         elif args.modality == "normals":
-            out = pipe(rgb_int, **common)
+            rgb_int = np.asarray(sample["rgb_int"], np.uint8)
             save_to = os.path.join(
                 out_npy,
                 (scene + "_" if scene else "")
                 + os.path.splitext(base)[0] + "_pred.npy",
             )
+            if os.path.exists(save_to) and not args.overwrite:
+                continue
+            out = pipe(rgb_int, **common)
             np.save(save_to, out.normals_np)
         else:
+            # iid RGB_ONLY samples carry "rgb" (float [0,1], possibly
+            # HDR-derived), not "rgb_int"
             rgb01 = np.asarray(sample["rgb"], np.float32)
+            stem = (scene + "_" if scene else "") + os.path.splitext(base)[0]
+            targets = pipe.target_names
+            if not args.overwrite and all(
+                os.path.exists(os.path.join(out_npy, f"{stem}_{t}_pred.npy"))
+                for t in targets
+            ):
+                continue
             out = pipe(rgb01, **common)
             for entry in out:
-                save_to = os.path.join(
-                    out_npy,
-                    (scene + "_" if scene else "")
-                    + os.path.splitext(base)[0] + f"_{entry.name}_pred.npy",
+                np.save(
+                    os.path.join(out_npy, f"{stem}_{entry.name}_pred.npy"),
+                    entry.array,
                 )
-                np.save(save_to, entry.array)
         if (i + 1) % 10 == 0 or i == len(dataset) - 1:
             rate = (i + 1) / (time.time() - t0)
             logging.info(f"{i+1}/{len(dataset)} samples ({rate:.2f}/s)")

@@ -345,7 +345,11 @@ class DiffusionCore:
                 key, (E, h_lat, w_lat, target_ch), jnp.float32
             )
             if e_pad > E:
-                noise = jnp.concatenate([noise, noise[: e_pad - E]], axis=0)
+                # tile: with few members on many devices the pad count can
+                # exceed E (E=3 on an 8-mesh pads 5), which a single
+                # noise[:pad] slice cannot fill
+                reps = -(-e_pad // E)
+                noise = jnp.tile(noise, (reps, 1, 1, 1))[:e_pad]
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -413,12 +417,9 @@ class DiffusionCore:
                         reduction=ens_kwargs.get("reduction", "median"),
                     )
             else:
+                # reference E=1: decoded values pass through (clip only,
+                # marigold_depth_pipeline.py:301-321) — no min-max stretch
                 pred = preds
-                if mode == "depth":
-                    big = jnp.asarray(jnp.inf, pred.dtype)
-                    d_min = jnp.min(jnp.where(mask, pred, big))
-                    d_max = jnp.max(jnp.where(mask, pred, -big))
-                    pred = (pred - d_min) / jnp.clip(d_max - d_min, 1e-6, None)
                 unc = None
 
             if unc is None:
@@ -434,6 +435,11 @@ class DiffusionCore:
             # chunk; normalize so differing caller batch_size values
             # don't compile duplicate (byte-identical) programs
             chunk = ensemble_size
+        elif self.mesh is not None:
+            # same for the mesh path: the builder overrides chunk to the
+            # sharded mega-chunk, so the caller's batch_size is dead here
+            n_dev = self.mesh.shape["data"]
+            chunk = -(-ensemble_size // n_dev) * n_dev
         key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
                n_targets, ensemble_opts, spatial)
         return self._cached_program(
@@ -449,12 +455,21 @@ class DiffusionCore:
     def _build_batch_fn(self, num_steps: int, ensemble_size: int, chunk: int,
                         mode: str, n_targets: int, out_hw, crop_hw,
                         ensemble_opts: tuple, n_images: int,
-                        compact_output: bool = False):
+                        compact_output: bool = False,
+                        resample_method: str = "bilinear"):
         """rgb [NI,Hp,Wp,3] + key -> (pred [NI,h,w,C], unc [NI,h,w,C]).
         Throughput-oriented: all images' members share the denoise batch,
         improving MXU utilization over per-image serving."""
         from marigold_tpu.pipelines import ensemble as ens
 
+        if getattr(self, "lcm", None) is not None:
+            # the batched program drives a plain DDIM table; silently
+            # sampling an LCM checkpoint with it would produce garbage —
+            # the single-image fused path implements the LCM sampler
+            raise ValueError(
+                "batched serving does not support LCM checkpoints; use the "
+                "single-image pipeline call"
+            )
         schedule = self.schedule
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         ts = schedule.inference_timesteps(num_steps)
@@ -511,11 +526,9 @@ class DiffusionCore:
 
         def reduce_one(members):  # [E, h, w, C] -> (pred, unc)
             if E == 1:
-                pred = members
-                if mode == "depth":
-                    d_min, d_max = jnp.min(pred), jnp.max(pred)
-                    pred = (pred - d_min) / jnp.clip(d_max - d_min, 1e-6, None)
-                return pred[0], jnp.zeros_like(pred[0][..., :1])
+                # reference E=1: decoded values pass through (clip only,
+                # marigold_depth_pipeline.py:301-321) — no min-max stretch
+                return members[0], jnp.zeros_like(members[0][..., :1])
             if mode == "depth":
                 pred, unc = ens.ensemble_depth(
                     members,
@@ -523,6 +536,12 @@ class DiffusionCore:
                     shift_invariant=ens_kwargs.get("shift_invariant", True),
                     output_uncertainty=True,
                     reduction=ens_kwargs.get("reduction", "median"),
+                    regularizer_strength=ens_kwargs.get(
+                        "regularizer_strength", 0.02
+                    ),
+                    max_iter=ens_kwargs.get("max_iter", 50),
+                    tol=ens_kwargs.get("tol", 1e-6),
+                    max_res=ens_kwargs.get("max_res", 1024),
                 )
             elif mode == "normals":
                 pred, unc = ens.ensemble_normals(
@@ -582,8 +601,8 @@ class DiffusionCore:
 
             pred, unc = jax.lax.map(reduce_one, preds)  # [NI,h,w,C]
             if out_hw is not None and out_hw != crop_hw:
-                pred = image_util.resize_jax(pred, out_hw, "bilinear")
-                unc = image_util.resize_jax(unc, out_hw, "bilinear")
+                pred = image_util.resize_jax(pred, out_hw, resample_method)
+                unc = image_util.resize_jax(unc, out_hw, resample_method)
                 if mode == "normals":
                     pred = pred / jnp.clip(
                         jnp.linalg.norm(pred, axis=-1, keepdims=True),
@@ -609,16 +628,17 @@ class DiffusionCore:
 
     def get_batch_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
                      n_targets, out_hw, crop_hw, ensemble_opts, n_images,
-                     compact_output=False):
+                     compact_output=False, resample_method="bilinear"):
         key = ("batch", hp, wp, num_steps, ensemble_size, chunk, mode,
                n_targets, out_hw, crop_hw, ensemble_opts, n_images,
-               compact_output)
+               compact_output, resample_method)
         return self._cached_program(
             key,
             lambda: self._build_batch_fn(num_steps, ensemble_size, chunk,
                                          mode, n_targets, out_hw, crop_hw,
                                          ensemble_opts, n_images,
-                                         compact_output),
+                                         compact_output,
+                                         resample_method=resample_method),
         )
 
 
@@ -690,9 +710,14 @@ def image_to_array(input_image) -> np.ndarray:
             arr = np.stack([arr] * 3, -1)
         if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
             arr = np.moveaxis(arr, 0, -1)  # CHW -> HWC
-        arr = arr.astype(np.float32)
-        if arr.max() > 1.5:  # uint8-ish range
-            arr = arr / 255.0
+        if np.issubdtype(arr.dtype, np.integer):
+            # dtype, not value range: a near-black uint8 frame (max <= 1)
+            # must still scale by /255 or pixel value 1 becomes full white
+            arr = arr.astype(np.float32) / 255.0
+        else:
+            arr = arr.astype(np.float32)
+            if arr.max() > 1.5:  # float carrying 0..255 values
+                arr = arr / 255.0
     arr = arr * 2.0 - 1.0
     return np.clip(arr, -1.0, 1.0)
 
@@ -896,6 +921,7 @@ class BasePipeline:
             out_hw=out_hw,
             ensemble_kwargs=ensemble_kwargs,
             compact_output=compact_readback,
+            resample_method=resample_method,
         )
 
     def _infer_fused_batch(
@@ -910,6 +936,7 @@ class BasePipeline:
         ensemble_kwargs: Optional[dict] = None,
         sync: bool = True,
         compact_output: bool = False,
+        resample_method: str = "bilinear",
     ):
         """Batched serving: returns (pred [NI,h,w,C], unc [NI,h,w,C] or None).
         With sync=False, returns device arrays without host transfer —
@@ -946,7 +973,7 @@ class BasePipeline:
         fn = core.get_batch_fn(
             hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
             self.n_targets, out_hw, (h0, w0), opts, ni,
-            compact_output=compact,
+            compact_output=compact, resample_method=resample_method,
         )
         key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
         pred, unc = fn(
@@ -1018,8 +1045,14 @@ class BasePipeline:
             e = min(s + batch_size, ensemble_size)
             chunk = noise_all[s:e]
             if chunk.shape[0] < batch_size:  # pad final chunk: static shapes
-                pad_n = batch_size - chunk.shape[0]
-                chunk = jnp.concatenate([chunk, chunk[:pad_n]], axis=0)
+                # tile: the remainder can be smaller than the pad it needs
+                # (10 members at batch 8 leave a 2-row final chunk needing
+                # 6 pad rows) — a single chunk[:pad] slice would under-fill
+                # and trigger a fresh compile at the odd shape
+                reps = -(-batch_size // chunk.shape[0])
+                chunk = jnp.tile(
+                    chunk, (reps,) + (1,) * (chunk.ndim - 1)
+                )[:batch_size]
                 out = infer_fn(
                     core.unet_params, core.vae_params, rgb_latent, chunk,
                     core.empty_text_embed,

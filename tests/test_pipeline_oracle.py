@@ -94,8 +94,8 @@ def test_depth_pipeline_matches_torch_oracle(ckpt, rng):
     depth = decoded.mean(dim=1, keepdim=True)
     depth = torch.clip(depth, -1.0, 1.0)
     depth = ((depth + 1.0) / 2.0)[0, 0].numpy()
-    # E=1 path renormalizes min/max (pipelines/base.py reduce path)
-    depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
+    # E=1: decoded values pass through unmodified (reference
+    # marigold_depth_pipeline.py:301-321 — clip only, no min-max stretch)
 
     np.testing.assert_allclose(out.depth_np, depth, atol=2e-3)
     # strong agreement, not just correlation
@@ -152,5 +152,4 @@ def test_concat_order_is_detected(ckpt, rng):
         )
     depth = torch.clip(decoded.mean(dim=1), -1, 1)[0].numpy()
     depth = (depth + 1.0) / 2.0
-    depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
     assert not np.allclose(out.depth_np, depth, atol=2e-3)
