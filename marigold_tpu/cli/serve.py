@@ -144,6 +144,7 @@ def serve(args) -> int:
     pipe = _load_pipeline(args)
 
     seen: set = set()
+    read_failures: dict = {}  # path -> consecutive failed-open count
     # buckets: input (H, W) -> deque of (path, PIL image, t_enqueued)
     buckets: dict = collections.defaultdict(collections.deque)
     n_done = 0
@@ -186,8 +187,23 @@ def serve(args) -> int:
                 try:
                     im = Image.open(path).convert("RGB")
                 except Exception:
-                    logging.exception(f"failed to read {path}; skipping")
+                    # A partially-written file (upload/copy in progress)
+                    # fails once; un-mark it so the next poll retries
+                    # instead of skipping it forever. Give up after 20
+                    # consecutive failures (a genuinely corrupt file).
+                    n_fail = read_failures.get(path, 0) + 1
+                    if n_fail < 20:
+                        read_failures[path] = n_fail
+                        seen.discard(path)
+                        logging.warning(f"failed to read {path} "
+                                        f"(attempt {n_fail}); will retry")
+                    else:
+                        read_failures.pop(path, None)
+                        logging.exception(
+                            f"failed to read {path} after {n_fail} "
+                            "attempts; skipping permanently")
                     continue
+                read_failures.pop(path, None)
                 buckets[im.size].append((path, im, time.time()))
 
             dispatched = False

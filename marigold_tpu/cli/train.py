@@ -20,6 +20,20 @@ import shutil
 from datetime import datetime, timedelta
 
 
+def _wait_for_dir(path: str, timeout_s: float = 120.0) -> None:
+    """Block until `path` exists (created by process 0 on the shared fs)."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while not os.path.isdir(path):
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"run dir {path} was not created by process 0 within "
+                f"{timeout_s:.0f}s"
+            )
+        time.sleep(0.5)
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="Train a Marigold-TPU model")
     parser.add_argument("--config", type=str,
@@ -97,6 +111,21 @@ def main(argv=None):
     base_data_dir = args.base_data_dir or os.environ.get("BASE_DATA_DIR")
     base_ckpt_dir = args.base_ckpt_dir or os.environ.get("BASE_CKPT_DIR")
 
+    # Multihost init must precede ANY filesystem/wandb side effect so
+    # jax.process_index() can gate them: with N processes on a shared
+    # filesystem, only process 0 may create the run dir (exist_ok=False
+    # would crash the other N-1) or start a wandb run (N duplicates).
+    is_main = True
+    if args.multihost:
+        from marigold_tpu.parallel.mesh import init_distributed
+
+        n_proc = init_distributed()
+        import jax
+
+        is_main = jax.process_index() == 0
+        logging.info(f"multihost: {n_proc} process(es), "
+                     f"process_index={jax.process_index()}")
+
     resume_run = args.resume_run
     if resume_run is not None:
         out_dir_run = os.path.dirname(os.path.dirname(resume_run))
@@ -107,10 +136,14 @@ def main(argv=None):
         if args.add_datetime_prefix:
             run_name = f"{t_start.strftime('%y_%m_%d-%H_%M_%S')}-{run_name}"
         out_dir_run = os.path.join(args.output_dir or "output", run_name)
-        # exist_ok=False like the reference (train.py:163): without the
-        # datetime prefix a rerun of the same config must not silently
-        # write into (and corrupt) the previous run's directory
-        os.makedirs(out_dir_run, exist_ok=False)
+        if is_main:
+            # exist_ok=False like the reference (train.py:163): without the
+            # datetime prefix a rerun of the same config must not silently
+            # write into (and corrupt) the previous run's directory
+            os.makedirs(out_dir_run, exist_ok=False)
+        else:
+            # non-zero processes join the dir process 0 creates
+            _wait_for_dir(out_dir_run)
 
     out_dir_ckpt = os.path.join(out_dir_run, "checkpoint")
     out_dir_tb = os.path.join(out_dir_run, "tensorboard")
@@ -119,9 +152,12 @@ def main(argv=None):
     for d in (out_dir_ckpt, out_dir_tb, out_dir_eval, out_dir_vis):
         os.makedirs(d, exist_ok=True)
 
-    config_logging(cfg.get("logging", {}), out_dir=out_dir_run)
+    # non-main processes log to console only (no file-handler contention)
+    config_logging(cfg.get("logging", {}),
+                   out_dir=out_dir_run if is_main else None)
     logging.info(f"config: {args.config}; output: {out_dir_run}")
-    tb_logger.set_dir(out_dir_tb)
+    if is_main:
+        tb_logger.set_dir(out_dir_tb)
 
     # wandb wrapping tensorboard, with run-ID persistence across resume
     # (reference train.py:185-210, logging_util.py:95-120; noop without
@@ -137,14 +173,15 @@ def main(argv=None):
         prev_id = load_wandb_job_id(out_dir_run)
         if prev_id is not None:
             wandb_kwargs.update(id=prev_id, resume="must")
-    wandb_run = init_wandb(enable=not args.no_wandb, **wandb_kwargs)
-    if not args.no_wandb:
+    wandb_run = init_wandb(enable=is_main and not args.no_wandb,
+                           **wandb_kwargs)
+    if is_main and not args.no_wandb:
         # only a REAL run id may be persisted: a disabled-mode run carries
         # a synthetic id that would poison a later resume="must"
         save_wandb_job_id(wandb_run, out_dir_run)
     log_slurm_job_id()
 
-    if resume_run is None:
+    if resume_run is None and is_main:
         # save the effective composed config into the run dir
         import yaml
 
@@ -271,11 +308,6 @@ def main(argv=None):
         pipe.n_targets = len(pipe.target_names)
 
     mesh = None
-    if args.multihost:
-        from marigold_tpu.parallel.mesh import init_distributed
-
-        n_proc = init_distributed()
-        logging.info(f"multihost: {n_proc} process(es)")
     if args.data_parallel:
         import jax
 

@@ -230,8 +230,10 @@ class BaseDepthDataset:
         return rasters
 
     def _augment_data(self, rasters):
+        from . import rng as data_rng
+
         lr_flip_p = self.augm_args.get("lr_flip_p", 0)
-        if random.random() < lr_flip_p:
+        if data_rng.random() < lr_flip_p:
             rasters = {k: np.ascontiguousarray(v[:, ::-1]) for k, v in rasters.items()}
         return rasters
 

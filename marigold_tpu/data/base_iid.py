@@ -130,7 +130,9 @@ class BaseIIDDataset:
         return rasters
 
     def _augment_data(self, rasters):
-        if random.random() < self.augm_args.get("lr_flip_p", 0):
+        from . import rng as data_rng
+
+        if data_rng.random() < self.augm_args.get("lr_flip_p", 0):
             rasters = {k: np.ascontiguousarray(v[:, ::-1]) for k, v in rasters.items()}
         return rasters
 

@@ -228,8 +228,10 @@ class BaseNormalsDataset:
         (each stage still rounds to integer levels like the reference's
         torchvision-on-int-tensor chain, but in place — on a slow host
         core every avoided 9 MB astype copy is ~0.1 s/sample)."""
+        from . import rng as data_rng
+
         a = self.augm_args
-        if random.random() < a.get("lr_flip_p", 0):
+        if data_rng.random() < a.get("lr_flip_p", 0):
             rasters = {k: v[:, ::-1] for k, v in rasters.items()}  # views
             n = np.ascontiguousarray(rasters.get("normals")) if "normals" in rasters else None
             if n is not None:
@@ -238,20 +240,20 @@ class BaseNormalsDataset:
 
         rgb_f = rasters["rgb_int"].astype(np.float32)  # one copy; handles views
         is_hypersim_res = rgb_f.shape[0] == 768
-        if random.random() < a.get("gaussian_blur_p", 0) and is_hypersim_res:
-            sigma = random.uniform(0.0, a.get("gaussian_blur_sigma", 2.0))
+        if data_rng.random() < a.get("gaussian_blur_p", 0) and is_hypersim_res:
+            sigma = data_rng.uniform(0.0, a.get("gaussian_blur_sigma", 2.0))
             rgb_f = _gaussian_blur(rgb_f, sigma)
             np.rint(rgb_f, out=rgb_f)  # reference quantizes between stages
 
-        if random.random() < a.get("motion_blur_p", 0) and is_hypersim_res:
+        if data_rng.random() < a.get("motion_blur_p", 0) and is_hypersim_res:
             max_k = a.get("motion_blur_kernel_size", 9)
-            ks = random.choice([x for x in range(3, max_k + 1) if x % 2 == 1])
-            angle = random.uniform(0.0, a.get("motion_blur_angle_range", 180.0))
+            ks = data_rng.choice([x for x in range(3, max_k + 1) if x % 2 == 1])
+            angle = data_rng.uniform(0.0, a.get("motion_blur_angle_range", 180.0))
             rgb_f = _motion_blur(rgb_f, ks, angle)
             np.rint(rgb_f, out=rgb_f)
 
-        if random.random() < a.get("color_jitter_p", 0):
-            rng = random.Random(random.random())
+        if data_rng.random() < a.get("color_jitter_p", 0):
+            rng = random.Random(data_rng.random())
             rgb_f *= 1.0 / 255.0
             rgb_f = _color_jitter(
                 rgb_f,

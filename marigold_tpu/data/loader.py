@@ -8,11 +8,14 @@ queue); a background thread prefetches while the device computes.
 Determinism contract: when constructed with a seed, every batch carries a
 per-batch augmentation seed drawn from the loader's rng for the FULL epoch
 (before any `skip_first_batches`), and that seed is restored into the
-`random`/`np.random` state before the batch's samples are assembled — in
-both the 0-worker thread path and the forked-worker path. So seeded runs
-reproduce their augmentations exactly, a resumed run replays the same
-seeds the uninterrupted run would have used for the remaining batches, and
-0-worker and N-worker runs see the same augmentation stream.
+thread-local augmentation RNG (`data/rng.py`) before the batch's samples
+are assembled — in both the 0-worker thread path and the forked-worker
+path. So seeded runs reproduce their augmentations exactly, a resumed run
+replays the same seeds the uninterrupted run would have used for the
+remaining batches, and 0-worker and N-worker runs see the same
+augmentation stream. The process-global `random`/`np.random` state is
+never mutated from the prefetch thread (it would race with concurrent
+main-thread consumers).
 """
 
 from __future__ import annotations
@@ -51,9 +54,14 @@ def _assemble_batch_worker(args):
     if not _WORKER_HANDLES_RESET:
         _reset_inherited_io(dataset)
         _WORKER_HANDLES_RESET = True
-    # deterministic augmentations: forked children are reseeded from OS
-    # entropy by CPython's at-fork hook, so restore the per-batch seed
-    # (the torch-DataLoader worker-seeding role)
+    # deterministic augmentations: restore the per-batch seed into the
+    # thread-local augmentation RNG (the torch-DataLoader worker-seeding
+    # role). Forked children also reseed the process globals for any
+    # user dataset that still consumes them — safe here because the
+    # worker process is single-threaded.
+    from . import rng as data_rng
+
+    data_rng.seed(seed)
     random.seed(seed)
     np.random.seed(seed % (2**32))
     return collate_fn([dataset[i] for i in batch_idx])
@@ -161,14 +169,16 @@ class DataLoader:
             return False
 
         def produce(q: queue.Queue):
+            from . import rng as data_rng
+
             try:
                 for batch_idx, seed in zip(batch_lists, seeds):
-                    # same per-batch seeding as the worker path (the
-                    # augmentations read the process-global random/
-                    # np.random; the trainer itself uses jax PRNG keys,
-                    # so the globals are the loader's to manage)
-                    random.seed(seed)
-                    np.random.seed(seed % (2**32))
+                    # same per-batch seeding as the worker path, but into
+                    # the THREAD-LOCAL augmentation RNG only: mutating the
+                    # process-global random/np.random from this daemon
+                    # thread would race with any concurrent main-thread
+                    # consumer (e.g. validation while prefetch continues)
+                    data_rng.seed(seed)
                     samples = [self.dataset[i] for i in batch_idx]
                     if not put_or_abandon(q, ("item", self.collate_fn(samples))):
                         return

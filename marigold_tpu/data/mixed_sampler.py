@@ -66,8 +66,7 @@ class MixedBatchSampler:
             raise ValueError(
                 "MixedBatchSampler: every dataset is smaller than "
                 f"batch_size={batch_size} (dataset sizes "
-                f"{[len(d) for d in datasets]}) — no full batch can be "
-                "drawn"
+                f"{self.dataset_length}) — no full batch can be drawn"
             )
         if prob is None:
             # proportional to dataset batch counts (reference default)

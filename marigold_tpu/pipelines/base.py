@@ -402,6 +402,7 @@ class DiffusionCore:
                         max_iter=ens_kwargs.get("max_iter", 50),
                         tol=ens_kwargs.get("tol", 1e-6),
                         max_res=ens_kwargs.get("max_res", 1024),
+                        reg_max_res=ens_kwargs.get("reg_max_res", 96),
                         valid_mask=mask,
                     )
                 elif mode == "normals":
@@ -542,6 +543,7 @@ class DiffusionCore:
                     max_iter=ens_kwargs.get("max_iter", 50),
                     tol=ens_kwargs.get("tol", 1e-6),
                     max_res=ens_kwargs.get("max_res", 1024),
+                    reg_max_res=ens_kwargs.get("reg_max_res", 96),
                 )
             elif mode == "normals":
                 pred, unc = ens.ensemble_normals(

@@ -83,6 +83,7 @@ def _downsample_nearest_max_res(x: jax.Array, max_res: int) -> jax.Array:
         "max_iter",
         "tol",
         "max_res",
+        "reg_max_res",
     ),
 )
 def ensemble_depth(
@@ -95,6 +96,7 @@ def ensemble_depth(
     max_iter: int = 50,
     tol: float = 1e-6,
     max_res: int = 1024,
+    reg_max_res: int = 96,
     valid_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Align+reduce an ensemble of depth maps. `depth`: [E, H, W, 1] in [0,1].
@@ -211,9 +213,12 @@ def ensemble_depth(
         # 0.02-strength nudge whose only structural role — stopping the
         # scale-degenerate collapse — the member-0 anchor already removes;
         # metric neutrality is measured in tests/test_ensemble_oracle.py.
-        reg_small = _downsample_nearest_max_res(small, 96)
+        # `reg_max_res` (default 96, the fast serving path) restores the
+        # reference-faithful behavior when set to `max_res`: protocol /
+        # parity runs can pin it via ensemble_kwargs={"reg_max_res": 1024}.
+        reg_small = _downsample_nearest_max_res(small, reg_max_res)
         reg_mask = (
-            _downsample_nearest_max_res(m_small, 96) > 0
+            _downsample_nearest_max_res(m_small, reg_max_res) > 0
             if m_small is not None else None
         )
 
