@@ -768,6 +768,19 @@ class BasePipeline:
 
     # ---------------- denoising orchestration ---------------- #
 
+    @staticmethod
+    def _noise_key(seed: Optional[int]) -> jax.Array:
+        """Reference seed semantics (marigold_depth_pipeline.py:430-435):
+        `generator=None` draws FRESH noise on every invocation — folder
+        inference without --seed must give each image/batch a distinct
+        noise stream. Explicit seeds stay fully deterministic (and
+        chunking-independent: the key feeds one [NI,E,...] normal draw)."""
+        if seed is None:
+            import secrets
+
+            return jax.random.PRNGKey(secrets.randbits(31))
+        return jax.random.PRNGKey(int(seed) % (2**31))
+
     def _infer_fused(
         self,
         rgb_norm: np.ndarray,  # [H,W,3] in [-1,1] (already at processing res)
@@ -851,7 +864,7 @@ class BasePipeline:
             hp, wp, denoising_steps, ensemble_size, chunk, self.mode,
             self.n_targets, opts, spatial=spatial,
         )
-        key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
+        key = self._noise_key(seed)
         pred, unc = fn(
             core.unet_params, core.vae_params, jnp.asarray(x),
             jnp.asarray(mask), key, core.empty_text_embed,
@@ -977,7 +990,7 @@ class BasePipeline:
             self.n_targets, out_hw, (h0, w0), opts, ni,
             compact_output=compact, resample_method=resample_method,
         )
-        key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
+        key = self._noise_key(seed)
         pred, unc = fn(
             core.unet_params, core.vae_params, jnp.asarray(x), key,
             core.empty_text_embed,
@@ -1017,7 +1030,7 @@ class BasePipeline:
         # all-member initial noise drawn at once: deterministic in seed,
         # independent of chunking (unlike the reference, whose noise stream
         # depends on the batch split)
-        key = jax.random.PRNGKey(0 if seed is None else int(seed) % (2**31))
+        key = self._noise_key(seed)
         target_ch = core.vae_cfg.latent_channels * max(self.n_targets, 1)
         noise_all = jax.random.normal(
             key, (ensemble_size, h_lat, w_lat, target_ch), jnp.float32

@@ -59,6 +59,22 @@ def test_depth_pipeline_deterministic_in_seed(depth_ckpt, rgb_image):
     assert not np.array_equal(a, c)
 
 
+def test_depth_pipeline_seed_none_fresh_noise(depth_ckpt, rgb_image):
+    """Reference semantics (marigold_depth_pipeline.py:430-435):
+    generator=None draws fresh noise per invocation — two un-seeded calls
+    on the same image must NOT share a noise stream."""
+    from marigold_tpu import MarigoldDepthPipeline
+
+    pipe = MarigoldDepthPipeline.from_pretrained(depth_ckpt, dtype=jnp.float32)
+    kw = dict(
+        denoising_steps=1, ensemble_size=2, processing_res=32,
+        show_progress_bar=False, color_map=None,
+    )
+    a = pipe(rgb_image, seed=None, **kw).depth_np
+    b = pipe(rgb_image, seed=None, **kw).depth_np
+    assert not np.array_equal(a, b)
+
+
 def test_depth_pipeline_native_res_and_single_member(depth_ckpt, rgb_image):
     from marigold_tpu import MarigoldDepthPipeline
 
