@@ -31,23 +31,35 @@ def img_srgb2linear(img: np.ndarray) -> np.ndarray:
 
 
 def _decode_exr_bytes(data: bytes) -> np.ndarray:
+    img = _decode_exr_cv2(data)
+    if img is None:
+        # cv2 builds without OpenEXR (`OpenEXR: NO`, common in minimal
+        # images) silently return None — fall back to the pure-Python
+        # scanline decoder (data/exr.py)
+        from marigold_tpu.data.exr import read_exr
+
+        return np.ascontiguousarray(read_exr(data).astype(np.float32))
+    if img.ndim == 3 and img.shape[-1] == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(img.astype(np.float32))
+
+
+def _decode_exr_cv2(data: bytes):
     import tempfile
 
-    import cv2
+    try:
+        import cv2
+    except ImportError:
+        return None
 
     # cv2.imdecode does not support EXR streams on all builds; go via file
     with tempfile.NamedTemporaryFile(suffix=".exr", delete=False) as f:
         f.write(data)
         tmp = f.name
     try:
-        img = cv2.imread(tmp, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+        return cv2.imread(tmp, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
     finally:
         os.unlink(tmp)
-    if img is None:
-        raise IOError("failed to decode EXR data")
-    if img.ndim == 3 and img.shape[-1] == 3:
-        img = img[..., ::-1]  # BGR -> RGB
-    return np.ascontiguousarray(img.astype(np.float32))
 
 
 def decode_image_bytes(data: bytes, path_hint: str = "") -> np.ndarray:

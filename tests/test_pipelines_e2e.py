@@ -81,12 +81,13 @@ def test_depth_pipeline_native_res_and_single_member(depth_ckpt, rgb_image):
     pipe = MarigoldDepthPipeline.from_pretrained(depth_ckpt, dtype=jnp.float32)
     out = pipe(
         rgb_image, denoising_steps=1, ensemble_size=1, processing_res=0,
-        show_progress_bar=False, color_map=None,
+        seed=0, show_progress_bar=False, color_map=None,
     )
     assert out.depth_np.shape == (40, 56)
     assert out.uncertainty is None
-    # single member is min-max normalized to [0,1]
-    assert abs(out.depth_np.min()) < 1e-6 and abs(out.depth_np.max() - 1) < 1e-6
+    # single member passes through (clip to [0,1] only — reference E=1
+    # semantics, marigold_depth_pipeline.py:301-321; no min-max stretch)
+    assert 0.0 <= out.depth_np.min() and out.depth_np.max() <= 1.0
 
 
 def test_normals_pipeline_e2e(depth_ckpt, rgb_image):
