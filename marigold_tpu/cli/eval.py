@@ -252,8 +252,12 @@ def main(argv=None):
         )
         tracker, rows = eval_normals(args, dataset, metric_names)
     else:
+        # reference reports psnr/ssim/lpips per target (script/iid/
+        # eval.py:127-131); lpips is dropped with a warning when no
+        # offline weights are available (scripts/export_lpips_weights.py)
         metric_names = list(
-            cfg.get("eval", {}).get("eval_metrics") or ["psnr", "ssim"]
+            cfg.get("eval", {}).get("eval_metrics")
+            or ["psnr", "ssim", "lpips"]
         )
         tracker, rows = eval_iid(args, dataset, metric_names)
 

@@ -40,11 +40,17 @@ def tiny_unet_config(in_ch=8, out_ch=4):
 
 
 def make_tiny_checkpoint(ckpt_dir: str, mode: str = "depth", seed: int = 0,
-                         n_targets: int = 2) -> str:
-    """Create a complete tiny pipeline checkpoint dir. Returns ckpt_dir."""
+                         n_targets: int = 2,
+                         iid_variant: str = "appearance") -> str:
+    """Create a complete tiny pipeline checkpoint dir. Returns ckpt_dir.
+
+    iid_variant: 'appearance' (albedo+material, InteriorVerse protocol) or
+    'lighting' (albedo+shading+residual, Hypersim protocol)."""
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
 
+    if mode == "iid" and iid_variant == "lighting":
+        n_targets = 3
     if mode == "iid":
         latent = TINY_VAE.latent_channels
         unet_cfg = tiny_unet_config(
@@ -82,7 +88,15 @@ def make_tiny_checkpoint(ckpt_dir: str, mode: str = "depth", seed: int = 0,
     }
     if mode == "depth":
         index.update({"scale_invariant": True, "shift_invariant": True})
-    if mode == "iid":
+    if mode == "iid" and iid_variant == "lighting":
+        # marigold-iid-lighting layout (reference model_index.json)
+        index["target_properties"] = {
+            "target_names": ["albedo", "shading", "residual"],
+            "albedo": {"prediction_space": "srgb", "up_to_scale": False},
+            "shading": {"prediction_space": "linear", "up_to_scale": True},
+            "residual": {"prediction_space": "linear", "up_to_scale": True},
+        }
+    elif mode == "iid":
         index["target_properties"] = {
             "target_names": ["albedo", "material"][:n_targets],
             "albedo": {"prediction_space": "srgb", "up_to_scale": False},

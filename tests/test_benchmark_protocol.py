@@ -1,85 +1,277 @@
-"""Protocol smoke test: drive cli/benchmark.py --benchmark nyu end-to-end
-(infer -> eval -> summary txt) against the SHIPPED dataset config and split
-list, on a synthetic mini-NYU tree containing just the first N split
-entries. Validates the full zero-shot eval protocol plumbing
-(reference script/depth/eval/11_infer_nyu.sh + 12_eval_nyu.sh)."""
+"""Protocol smoke tests: drive cli/benchmark.py end-to-end (infer -> eval
+-> summary txt) for EVERY benchmark registry entry, against the SHIPPED
+dataset configs and split lists, on synthetic mini data trees containing
+just the first N split entries. Each entry's distinct quirks run through
+the full CLI chain: KITTI 352x1216 bm-crop + eigen mask, ETH3D 4032x6048
+binary-float depth + alignment_max_res 1024, DIODE explicit .npy masks,
+NYU eigen crop, the 5 normals sets, InteriorVerse EXR appearance (material
+in linear space + LPIPS), Hypersim lighting (scale-align + quantile map).
 
+Reference protocols: script/depth/eval/*.sh, script/normals/eval/*.sh,
+script/iid/eval/*.sh.
+"""
+
+import json
 import os
 
 import numpy as np
 import pytest
+import yaml
 from PIL import Image
 
 from fixtures import make_tiny_checkpoint
+from marigold_tpu.data.exr import write_exr
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-NYU_SPLIT = os.path.join(REPO, "data_split/nyu_depth/labeled/filename_list_test.txt")
-N_SAMPLES = 2
 
 
-@pytest.fixture(scope="module")
-def mini_nyu_tree(tmp_path_factory, rng_module):
-    """base_data_dir with nyuv2/nyu_labeled_extracted.tar/ as a DIRECTORY
-    (the tar-or-dir reader treats a non-file path as a directory) holding
-    the first N entries of the shipped split list at real NYU geometry."""
-    base = tmp_path_factory.mktemp("nyu_base")
-    root = base / "nyuv2" / "nyu_labeled_extracted.tar"
-    with open(NYU_SPLIT) as f:
-        lines = [ln.split() for ln in f.readlines()[:N_SAMPLES]]
+def _split_lines(cfg_path, n):
+    with open(os.path.join(REPO, cfg_path)) as f:
+        ds = yaml.safe_load(f)["dataset"]
+    with open(os.path.join(REPO, ds["filenames"])) as f:
+        lines = [ln.split() for ln in f.readlines()[:n] if ln.strip()]
+    return ds["dir"], lines
+
+
+def _smooth_depth(h, w, lo, hi):
+    g = np.sin(np.linspace(0, 3, h)[:, None] + np.linspace(0, 2, w)[None, :])
+    return lo + (hi - lo) * (g + 1) / 2
+
+
+def _save_rgb(path, h, w, rng):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if max(h, w) > 2000:
+        # big files (ETH3D): a smooth gradient compresses to a tiny JPG
+        x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+        y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+        arr = np.stack([x + 0 * y, y + 0 * x, (x + y) / 2], -1).astype(np.uint8)
+    else:
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _save_unit_normals(path, h, w, rng):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    n = rng.standard_normal((h, w, 3)).astype(np.float32)
+    n[..., 2] = np.abs(n[..., 2]) + 0.3  # camera-facing hemisphere
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    np.save(path, n)
+
+
+# ---------------- per-benchmark mini-tree builders ---------------- #
+# each: build(root_dir, lines, rng) where root_dir is base_data_dir/<dir>
+# (tar paths are created as directories — the tar-or-dir reader treats a
+# non-file path as a directory)
+
+
+def build_depth_nyu(root, lines, rng):
     for rgb_rel, depth_rel, filled_rel in lines:
-        for rel in (rgb_rel, depth_rel, filled_rel):
-            os.makedirs(os.path.dirname(root / rel), exist_ok=True)
-        rgb = rng_module.integers(0, 255, (480, 640, 3), dtype=np.uint8)
-        # smooth-ish synthetic depth in mm within NYU's [1e-3, 10] m range
-        depth_m = 2.0 + 1.5 * np.sin(
-            np.linspace(0, 3, 480)[:, None] + np.linspace(0, 2, 640)[None, :]
-        )
-        depth_mm = (depth_m * 1000).astype(np.uint16)
-        Image.fromarray(rgb).save(root / rgb_rel)
-        Image.fromarray(depth_mm).save(root / depth_rel)
-        Image.fromarray(depth_mm).save(root / filled_rel)
-    return str(base)
+        _save_rgb(os.path.join(root, rgb_rel), 480, 640, rng)
+        mm = (_smooth_depth(480, 640, 2.0, 3.5) * 1000).astype(np.uint16)
+        for rel in (depth_rel, filled_rel):
+            os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+            Image.fromarray(mm).save(os.path.join(root, rel))
 
 
-@pytest.fixture(scope="module")
-def rng_module():
-    return np.random.default_rng(7)
+def build_depth_kitti(root, lines, rng):
+    for rgb_rel, depth_rel, _focal in lines:
+        _save_rgb(os.path.join(root, rgb_rel), 375, 1242, rng)
+        # depth PNG in 1/256 m units; zeros are invalid (sparse GT)
+        d = (_smooth_depth(375, 1242, 5.0, 30.0) * 256).astype(np.uint16)
+        d[::3] = 0  # sparsity like projected LiDAR
+        os.makedirs(os.path.dirname(os.path.join(root, depth_rel)), exist_ok=True)
+        Image.fromarray(d).save(os.path.join(root, depth_rel))
 
 
-def test_benchmark_nyu_protocol(tmp_path, tmp_path_factory, mini_nyu_tree):
-    from marigold_tpu.cli.benchmark import main
+def build_depth_eth3d(root, lines, rng):
+    H, W = 4032, 6048  # hardcoded in ETH3DDepthDataset
+    for rgb_rel, depth_rel in lines:
+        _save_rgb(os.path.join(root, rgb_rel), H, W, rng)
+        d = _smooth_depth(H, W, 1.0, 40.0).astype(np.float32)
+        d[:50] = np.inf  # the loader must map inf -> 0 (invalid)
+        p = os.path.join(root, depth_rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        d.tofile(p)
 
-    ckpt = make_tiny_checkpoint(
-        str(tmp_path_factory.mktemp("ckpt")), mode="depth"
-    )
+
+def build_depth_scannet(root, lines, rng):
+    for rgb_rel, depth_rel in lines:
+        _save_rgb(os.path.join(root, rgb_rel), 480, 640, rng)
+        mm = (_smooth_depth(480, 640, 1.5, 6.0) * 1000).astype(np.uint16)
+        p = os.path.join(root, depth_rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(mm).save(p)
+
+
+def build_depth_diode(root, lines, rng):
+    for rgb_rel, depth_rel, mask_rel in lines:
+        _save_rgb(os.path.join(root, rgb_rel), 192, 256, rng)
+        d = _smooth_depth(192, 256, 1.0, 20.0).astype(np.float32)[..., None]
+        mask = np.ones((192, 256), bool)
+        mask[:20] = False  # explicit invalid region
+        np.save(os.path.join(root, depth_rel), d)
+        np.save(os.path.join(root, mask_rel), mask)
+
+
+def _build_normals(root, lines, rng, hw=(96, 128)):
+    for rgb_rel, normal_rel in lines:
+        _save_rgb(os.path.join(root, rgb_rel), hw[0], hw[1], rng)
+        _save_unit_normals(os.path.join(root, normal_rel), hw[0], hw[1], rng)
+
+
+def build_iid_interiorverse(root, lines, rng):
+    h, w = 96, 128
+    for im_rel, albedo_rel, material_rel, mask_rel in lines:
+        for rel in (im_rel, albedo_rel, material_rel, mask_rel):
+            os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+        # HDR linear radiance (values may exceed 1)
+        write_exr(os.path.join(root, im_rel),
+                  rng.uniform(0, 2, (h, w, 3)).astype(np.float32))
+        write_exr(os.path.join(root, albedo_rel),
+                  rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        write_exr(os.path.join(root, material_rel),
+                  rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        write_exr(os.path.join(root, mask_rel),
+                  np.ones((h, w, 3), np.float32))
+
+
+def build_iid_hypersim(root, lines, rng):
+    h, w = 96, 128
+    for rgb_rel, albedo_rel, shading_rel, residual_rel, stats_rel in lines:
+        _save_rgb(os.path.join(root, rgb_rel), h, w, rng)
+        np.save(os.path.join(root, albedo_rel),
+                rng.uniform(0.05, 1, (h, w, 3)).astype(np.float32))
+        np.save(os.path.join(root, shading_rel),
+                rng.uniform(0, 3, (h, w, 3)).astype(np.float32))
+        np.save(os.path.join(root, residual_rel),
+                rng.uniform(0, 0.5, (h, w, 3)).astype(np.float32))
+        with open(os.path.join(root, stats_rel), "w") as f:
+            json.dump({}, f)
+
+
+BENCHES = [
+    # (modality, benchmark, builder, ckpt kwargs, n_samples, expect_metrics)
+    ("depth", "nyu", build_depth_nyu, {"mode": "depth"}, 2,
+     ["abs_relative_difference", "delta1_acc"]),
+    ("depth", "kitti", build_depth_kitti, {"mode": "depth"}, 1,
+     ["abs_relative_difference", "silog_rmse"]),
+    ("depth", "eth3d", build_depth_eth3d, {"mode": "depth"}, 1,
+     ["abs_relative_difference"]),
+    ("depth", "scannet", build_depth_scannet, {"mode": "depth"}, 2,
+     ["abs_relative_difference"]),
+    ("depth", "diode", build_depth_diode, {"mode": "depth"}, 2,
+     ["abs_relative_difference"]),
+    ("normals", "scannet", _build_normals, {"mode": "normals"}, 2,
+     ["mean_angular_error", "sub11_25_error"]),
+    ("normals", "nyu", _build_normals, {"mode": "normals"}, 2,
+     ["mean_angular_error"]),
+    ("normals", "ibims", _build_normals, {"mode": "normals"}, 2,
+     ["mean_angular_error"]),
+    ("normals", "diode", _build_normals, {"mode": "normals"}, 2,
+     ["mean_angular_error"]),
+    ("normals", "oasis", _build_normals, {"mode": "normals"}, 2,
+     ["mean_angular_error"]),
+    ("iid", "appearance_interiorverse", build_iid_interiorverse,
+     {"mode": "iid"}, 2, ["psnr_albedo", "psnr_material", "ssim_albedo"]),
+    ("iid", "lighting_hypersim", build_iid_hypersim,
+     {"mode": "iid", "iid_variant": "lighting"}, 2,
+     ["psnr_albedo", "psnr_shading", "psnr_residual"]),
+]
+
+
+@pytest.mark.parametrize(
+    "modality,bench,builder,ckpt_kwargs,n,expect",
+    BENCHES, ids=[f"{m}-{b}" for m, b, *_ in BENCHES],
+)
+def test_benchmark_protocol(tmp_path, rng, modality, bench, builder,
+                            ckpt_kwargs, n, expect, monkeypatch):
+    from marigold_tpu.cli.benchmark import PROTOCOLS, main
+
+    cfg_path = PROTOCOLS[modality][bench][0]
+    ds_dir, lines = _split_lines(cfg_path, n)
+    assert len(lines) == n, f"split list shorter than {n}?"
+    base = tmp_path / "base_data"
+    builder(str(base / ds_dir), lines, rng)
+
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ckpt"), **ckpt_kwargs)
     out_dir = tmp_path / "eval_out"
+
+    if bench == "appearance_interiorverse":
+        # LPIPS e2e: a correctly-shaped random-init weight file (the
+        # offline converter's self-test mode) must make the eval CLI
+        # report lpips_* (reference script/iid/eval.py:113-131)
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from export_lpips_weights import random_init_flat
+
+        lp = tmp_path / "lpips_rand.npz"
+        np.savez(lp, **random_init_flat())
+        monkeypatch.setenv("LPIPS_WEIGHTS", str(lp))
+        expect = expect + ["lpips_albedo", "lpips_material"]
+    elif modality == "iid":
+        monkeypatch.delenv("LPIPS_WEIGHTS", raising=False)
+
     rc = main([
-        "--modality", "depth",
-        "--benchmark", "nyu",
+        "--modality", modality,
+        "--benchmark", bench,
         "--checkpoint", ckpt,
-        "--base_data_dir", mini_nyu_tree,
+        "--base_data_dir", str(base),
         "--output_dir", str(out_dir),
-        "--ensemble_size", "2",  # smoke override; protocol default is 10
-        "--processing_res", "64",  # smoke override; protocol pins 0 (native)
-        "--limit", str(N_SAMPLES),
-    ], )
+        "--ensemble_size", "2",     # smoke override (protocol: 10 / 1)
+        "--denoise_steps", "1",     # smoke override (protocol: 1 / 4)
+        "--processing_res", "64",   # smoke override (protocol pins vary)
+        "--limit", str(n),
+    ])
     assert rc == 0
 
-    metric_dir = out_dir / "depth" / "nyu" / "eval_metric"
+    metric_dir = out_dir / modality / bench / "eval_metric"
     txt = metric_dir / "eval_metrics-least_square.txt"
     csv_path = metric_dir / "per_sample_metrics.csv"
     assert txt.exists() and csv_path.exists()
     text = txt.read_text()
-    assert "abs_relative_difference" in text
-    assert "delta1_acc" in text
-    # per-sample CSV has one row per sample
+    for m in expect:
+        assert m in text, f"{m} missing from summary:\n{text}"
     rows = csv_path.read_text().strip().splitlines()
-    assert len(rows) == 1 + N_SAMPLES
+    assert len(rows) == 1 + n
+    # every metric value in the summary must be finite
+    import re
 
-    # predictions named per the NYU naming mode, full input resolution
+    for val in re.findall(r"-?\d+\.\d+(?:e[+-]?\d+)?", text):
+        assert np.isfinite(float(val))
+
+    pred_dir = out_dir / modality / bench / "prediction" / f"{modality}_npy"
+    preds = sorted(os.listdir(pred_dir))
+    if modality == "iid":
+        n_targets = 3 if ckpt_kwargs.get("iid_variant") == "lighting" else 2
+        assert len(preds) == n * n_targets
+    else:
+        assert len(preds) == n
+    arr = np.load(pred_dir / preds[0])
+    assert np.isfinite(arr).all()
+
+
+def test_benchmark_nyu_protocol_details(tmp_path, rng):
+    """NYU extras beyond the generic parametrized assertions: prediction
+    naming mode + full-input-resolution outputs in [0,1]."""
+    from marigold_tpu.cli.benchmark import PROTOCOLS, main
+
+    cfg_path = PROTOCOLS["depth"]["nyu"][0]
+    ds_dir, lines = _split_lines(cfg_path, 2)
+    base = tmp_path / "base_data"
+    build_depth_nyu(str(base / ds_dir), lines, rng)
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ckpt"), mode="depth")
+    out_dir = tmp_path / "eval_out"
+    rc = main([
+        "--modality", "depth", "--benchmark", "nyu",
+        "--checkpoint", ckpt, "--base_data_dir", str(base),
+        "--output_dir", str(out_dir),
+        "--ensemble_size", "2", "--processing_res", "64", "--limit", "2",
+    ])
+    assert rc == 0
     pred_dir = out_dir / "depth" / "nyu" / "prediction" / "depth_npy"
     preds = sorted(os.listdir(pred_dir))
-    assert len(preds) == N_SAMPLES
+    assert len(preds) == 2
     p = np.load(pred_dir / preds[0])
     assert p.shape == (480, 640)
     assert np.isfinite(p).all() and p.min() >= 0.0 and p.max() <= 1.0
