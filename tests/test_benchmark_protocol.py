@@ -275,3 +275,38 @@ def test_benchmark_nyu_protocol_details(tmp_path, rng):
     p = np.load(pred_dir / preds[0])
     assert p.shape == (480, 640)
     assert np.isfinite(p).all() and p.min() >= 0.0 and p.max() <= 1.0
+
+
+def test_benchmark_all_depth(tmp_path, rng):
+    """`--benchmark all` — the exact code path scripts/eval/depth_all.sh
+    drives (the one-command real-weights parity gate, README) — must
+    resolve every depth registry entry end-to-end and write each
+    dataset's summary + per-sample CSV."""
+    from marigold_tpu.cli.benchmark import PROTOCOLS, main
+
+    builders = {
+        "nyu": build_depth_nyu, "kitti": build_depth_kitti,
+        "eth3d": build_depth_eth3d, "scannet": build_depth_scannet,
+        "diode": build_depth_diode,
+    }
+    assert set(builders) == set(PROTOCOLS["depth"]), (
+        "depth registry changed — update this test's builders")
+    base = tmp_path / "base_data"
+    for bench, builder in builders.items():
+        ds_dir, lines = _split_lines(PROTOCOLS["depth"][bench][0], 1)
+        builder(str(base / ds_dir), lines, rng)
+
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ckpt"), mode="depth")
+    out_dir = tmp_path / "eval_out"
+    rc = main([
+        "--modality", "depth", "--benchmark", "all",
+        "--checkpoint", ckpt, "--base_data_dir", str(base),
+        "--output_dir", str(out_dir),
+        "--ensemble_size", "2", "--denoise_steps", "1",
+        "--processing_res", "64", "--limit", "1",
+    ])
+    assert rc == 0
+    for bench in builders:
+        md = out_dir / "depth" / bench / "eval_metric"
+        assert (md / "eval_metrics-least_square.txt").exists(), bench
+        assert (md / "per_sample_metrics.csv").exists(), bench
