@@ -39,10 +39,10 @@ def main():
     import jax.numpy as jnp
 
     import os
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from marigold_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     from marigold_tpu.core.scheduler import DiffusionSchedule
     from marigold_tpu.models import unet as unet_lib

@@ -18,3 +18,10 @@ def apply_platform_env() -> None:
                 jax.config.update("jax_platforms", env)
         except Exception:
             pass
+    # every CLI gets warm restarts: big-program compiles (minutes for the
+    # fused serving program) persist across processes
+    from marigold_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
