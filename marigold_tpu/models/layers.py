@@ -16,6 +16,7 @@ op on TPU).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -63,6 +64,27 @@ def init_norm(num_ch, dtype=jnp.float32):
 # ------------------------------------------------------------------ #
 # core ops
 
+# "xla" (default): the XLA conv emitter — measured best-in-program at every
+# SD2/VAE tower shape (docs/PERFORMANCE.md round-5 conv investigation).
+# "pallas": the nine-tap matmul kernel in ops/conv.py, kept as a measured
+# opt-in (it wins only isolated 192x192x512 and loses 14% on the full UNet).
+_CONV_IMPL = os.environ.get("MARIGOLD_TPU_CONV", "xla")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _use_pallas_conv(w, x, stride, padding) -> bool:
+    if _CONV_IMPL != "pallas" or not _on_tpu():
+        return False
+    from marigold_tpu.ops import conv as _pc
+
+    return _pc.supports(x.shape, w.shape, stride, padding, x.dtype)
+
 
 def linear(p, x):
     y = jnp.dot(x, p["weight"], preferred_element_type=x.dtype)
@@ -74,6 +96,12 @@ def linear(p, x):
 def conv2d(p, x, stride=1, padding=1, spatial_axis=None):
     """x: [B,H,W,Cin], weight: [Kh,Kw,Cin,Cout] (HWIO).
 
+    Conv dispatch: MARIGOLD_TPU_CONV=pallas routes SAME-padded stride-1
+    3x3 convs with 128-multiple channels through the Pallas nine-tap
+    matmul kernel (`ops/conv.py`). Default is the XLA emitter — the
+    round-5 investigation (docs/PERFORMANCE.md) measured it faster
+    in-program at every tower shape. Gradients always take the XLA VJP.
+
     spatial_axis: when set (inside `shard_map` with the H dimension sharded
     over that mesh axis), 3x3 convs exchange one halo row with each
     neighbor over ICI (`lax.ppermute`; edge shards receive zeros = the
@@ -84,6 +112,13 @@ def conv2d(p, x, stride=1, padding=1, spatial_axis=None):
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     kh = p["weight"].shape[0]
+    if spatial_axis is None and _use_pallas_conv(p["weight"], x, stride, padding):
+        from marigold_tpu.ops import conv as _pc
+
+        bias = p.get("bias")
+        if bias is None:
+            bias = jnp.zeros((p["weight"].shape[3],), x.dtype)
+        return _pc.conv3x3(x, p["weight"].astype(x.dtype), bias.astype(x.dtype))
     if spatial_axis is not None and kh == 3:
         from_prev, from_next = _halo_rows(x, spatial_axis)
         if stride == 1:
