@@ -68,6 +68,8 @@ def init_norm(num_ch, dtype=jnp.float32):
 # SD2/VAE tower shape (docs/PERFORMANCE.md round-5 conv investigation).
 # "pallas": the nine-tap matmul kernel in ops/conv.py, kept as a measured
 # opt-in (it wins only isolated 192x192x512 and loses 14% on the full UNet).
+# "winograd": the F(2x2,3x3) Pallas kernel in ops/winograd.py (2.25x fewer
+# MXU FLOPs); falls back to the XLA emitter where unsupported.
 _CONV_IMPL = os.environ.get("MARIGOLD_TPU_CONV", "xla")
 
 
@@ -78,12 +80,22 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_pallas_conv(w, x, stride, padding) -> bool:
-    if _CONV_IMPL != "pallas" or not _on_tpu():
-        return False
-    from marigold_tpu.ops import conv as _pc
+def _conv_impl_for(w, x, stride, padding):
+    """Which 3x3 kernel handles this call: 'winograd' | 'pallas' | None."""
+    if _CONV_IMPL == "xla" or not _on_tpu():
+        return None
+    if _CONV_IMPL == "winograd":
+        from marigold_tpu.ops import winograd as _wg
 
-    return _pc.supports(x.shape, w.shape, stride, padding, x.dtype)
+        if _wg.supports(x.shape, w.shape, stride, padding, x.dtype):
+            return "winograd"
+        return None
+    if _CONV_IMPL == "pallas":
+        from marigold_tpu.ops import conv as _pc
+
+        if _pc.supports(x.shape, w.shape, stride, padding, x.dtype):
+            return "pallas"
+    return None
 
 
 def linear(p, x):
@@ -112,12 +124,21 @@ def conv2d(p, x, stride=1, padding=1, spatial_axis=None):
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     kh = p["weight"].shape[0]
-    if spatial_axis is None and _use_pallas_conv(p["weight"], x, stride, padding):
-        from marigold_tpu.ops import conv as _pc
-
+    impl = None if spatial_axis is not None else _conv_impl_for(
+        p["weight"], x, stride, padding
+    )
+    if impl is not None:
         bias = p.get("bias")
         if bias is None:
             bias = jnp.zeros((p["weight"].shape[3],), x.dtype)
+        if impl == "winograd":
+            from marigold_tpu.ops import winograd as _wg
+
+            return _wg.winograd3x3(
+                x, p["weight"].astype(x.dtype), bias.astype(x.dtype)
+            )
+        from marigold_tpu.ops import conv as _pc
+
         return _pc.conv3x3(x, p["weight"].astype(x.dtype), bias.astype(x.dtype))
     if spatial_axis is not None and kh == 3:
         from_prev, from_next = _halo_rows(x, spatial_axis)

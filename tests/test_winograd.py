@@ -1,0 +1,96 @@
+"""Winograd F(2x2,3x3) Pallas conv vs the XLA convolution (interpret mode
+on CPU). Covers the VAE-decoder shape classes it targets on TPU
+(128/256/512 channels, even H/W), K-blocking, bf16/fp32, odd-W alignment
+columns, and the XLA-gradient custom VJP. Behavioral reference:
+torch.nn.Conv2d(padding=1) inside the diffusers VAE used by the reference
+pipelines (/root/reference/marigold/marigold_depth_pipeline.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marigold_tpu.ops import conv as pc
+from marigold_tpu.ops import winograd as wg
+
+
+def _rand(key, shape, dtype, scale=1.0):
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def _check(B, H, W, C, K, dtype, tol):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(hash((B, H, W, C, K)) % 2**31), 3)
+    x = _rand(k1, (B, H, W, C), dtype)
+    w = _rand(k2, (3, 3, C, K), dtype, 0.05)
+    b = _rand(k3, (K,), dtype)
+    assert wg.supports(x.shape, w.shape, 1, [(1, 1), (1, 1)], dtype)
+    with jax.default_matmul_precision("float32"):
+        ref = pc._xla_conv(
+            x.astype(jnp.float32), w.astype(jnp.float32), b.astype(jnp.float32)
+        )
+        out = wg.winograd3x3(x, w, b, True)
+    rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-9
+    )
+    assert rel < tol, rel
+
+
+@pytest.mark.parametrize(
+    "B,H,W,C,K",
+    [
+        (2, 8, 16, 128, 128),  # aligned, single K panel
+        (1, 6, 16, 256, 384),  # unequal C/K
+        (1, 12, 12, 128, 128),  # W=12: phase width gets alignment columns
+        (2, 4, 8, 384, 256),  # unequal multiples of the MXU tile
+        (1, 8, 10, 128, 128),  # W=10: odd phase width before alignment pad
+    ],
+)
+def test_fwd_matches_xla_fp32(B, H, W, C, K):
+    _check(B, H, W, C, K, jnp.float32, 1e-4)
+
+
+def test_fwd_matches_xla_bf16():
+    # F(2x2,3x3) is numerically mild but bf16 V/F sums cost ~1 bit vs the
+    # direct conv; bound at 4%.
+    _check(2, 6, 16, 128, 256, jnp.bfloat16, 0.04)
+
+
+def test_k_blocking_path():
+    old = wg._U_BUDGET
+    wg._U_BUDGET = 16 * 128 * 128 * 4 + 1  # one 128-wide fp32 panel
+    try:
+        plan = wg._plan((1, 4, 8, 128), (3, 3, 128, 256), 4)
+        assert plan is not None and plan[1] == 128  # BK=128 -> KT=2
+        _check(1, 4, 8, 128, 256, jnp.float32, 1e-4)
+    finally:
+        wg._U_BUDGET = old
+
+
+def test_supports_gating():
+    sh = (1, 8, 16, 128)
+    wsh = (3, 3, 128, 128)
+    pad = [(1, 1), (1, 1)]
+    assert wg.supports(sh, wsh, 1, pad, jnp.bfloat16)
+    assert not wg.supports(sh, wsh, 2, pad, jnp.bfloat16)  # stride
+    assert not wg.supports(sh, (1, 1, 128, 128), 1, pad, jnp.bfloat16)  # 1x1
+    assert not wg.supports((1, 7, 16, 128), wsh, 1, pad, jnp.bfloat16)  # odd H
+    assert not wg.supports((1, 8, 16, 64), (3, 3, 64, 128), 1, pad, jnp.bfloat16)
+
+
+def test_vjp_is_xla_gradient():
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    x = _rand(k1, (1, 4, 8, 128), jnp.float32)
+    w = _rand(k2, (3, 3, 128, 128), jnp.float32, 0.05)
+    b = _rand(k3, (128,), jnp.float32)
+    g = _rand(k4, (1, 4, 8, 128), jnp.float32)
+
+    def f_wino(x, w, b):
+        return (wg.winograd3x3(x, w, b, True) * g).sum()
+
+    def f_xla(x, w, b):
+        return (pc._xla_conv(x, w, b) * g).sum()
+
+    gw = jax.grad(f_wino, argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gw, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
