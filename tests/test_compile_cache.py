@@ -47,10 +47,18 @@ print(f"CACHE hits={hits} misses={misses}", flush=True)
 
 def _run(cache_dir: str) -> tuple[int, int, str]:
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # CPU-only subprocess: drop TPU-plugin site dirs from PYTHONPATH — their
+    # sitecustomize dials the remote TPU at interpreter startup and hangs
+    # every new python process when the tunnel is down.
+    keep = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([REPO, *keep])
+    # Generous timeout: the CI host can be 1 core and heavily contended.
     out = subprocess.run(
         [sys.executable, "-c", WORKER, cache_dir],
-        env=env, capture_output=True, text=True, cwd=REPO, timeout=240,
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=900,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("CACHE ")][0]

@@ -78,7 +78,14 @@ def test_two_process_mesh_and_global_batch():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # CPU-only workers: drop TPU-plugin site dirs — their sitecustomize
+    # dials the remote TPU at interpreter startup and hangs every new
+    # python process when the tunnel is down.
+    keep = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([REPO, *keep])
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(pid), str(port)],
