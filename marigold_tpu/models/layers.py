@@ -81,8 +81,13 @@ def _on_tpu() -> bool:
 
 
 def _conv_impl_for(w, x, stride, padding):
-    """Which 3x3 kernel handles this call: 'winograd' | 'pallas' | None."""
-    if _CONV_IMPL == "xla" or not _on_tpu():
+    """Which 3x3 kernel handles this call: 'winograd' | 'pallas' | None.
+
+    MARIGOLD_TPU_CONV_INTERPRET=1 lets tests exercise this exact dispatch
+    off-TPU (Pallas interpret mode)."""
+    if _CONV_IMPL == "xla":
+        return None
+    if not _on_tpu() and os.environ.get("MARIGOLD_TPU_CONV_INTERPRET") != "1":
         return None
     if _CONV_IMPL == "winograd":
         from marigold_tpu.ops import winograd as _wg
@@ -131,15 +136,18 @@ def conv2d(p, x, stride=1, padding=1, spatial_axis=None):
         bias = p.get("bias")
         if bias is None:
             bias = jnp.zeros((p["weight"].shape[3],), x.dtype)
+        interp = not _on_tpu()
         if impl == "winograd":
             from marigold_tpu.ops import winograd as _wg
 
             return _wg.winograd3x3(
-                x, p["weight"].astype(x.dtype), bias.astype(x.dtype)
+                x, p["weight"].astype(x.dtype), bias.astype(x.dtype), interp
             )
         from marigold_tpu.ops import conv as _pc
 
-        return _pc.conv3x3(x, p["weight"].astype(x.dtype), bias.astype(x.dtype))
+        return _pc.conv3x3(
+            x, p["weight"].astype(x.dtype), bias.astype(x.dtype), interp
+        )
     if spatial_axis is not None and kh == 3:
         from_prev, from_next = _halo_rows(x, spatial_axis)
         if stride == 1:

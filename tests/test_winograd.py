@@ -77,6 +77,44 @@ def test_supports_gating():
     assert not wg.supports((1, 8, 16, 64), (3, 3, 64, 128), 1, pad, jnp.bfloat16)
 
 
+def test_conv2d_dispatch_routes_and_matches(monkeypatch):
+    """MARIGOLD_TPU_CONV=winograd routes eligible convs through the kernel
+    (interpret-mode override exercises the real dispatch off-TPU) and the
+    result matches the default XLA path."""
+    from marigold_tpu.models import layers as L
+
+    monkeypatch.setenv("MARIGOLD_TPU_CONV_INTERPRET", "1")
+    monkeypatch.setattr(L, "_CONV_IMPL", "winograd")
+    calls = []
+    orig = wg.winograd3x3
+
+    def spy(x, w, b, interpret=False):
+        calls.append(x.shape)
+        return orig(x, w, b, interpret)
+
+    import marigold_tpu.ops.winograd as wmod
+
+    monkeypatch.setattr(wmod, "winograd3x3", spy)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    p = {
+        "weight": _rand(k1, (3, 3, 128, 128), jnp.float32, 0.05),
+        "bias": _rand(k2, (128,), jnp.float32),
+    }
+    x = _rand(k1, (1, 4, 8, 128), jnp.float32)
+    out = L.conv2d(p, x)
+    assert calls == [(1, 4, 8, 128)], calls
+    monkeypatch.setattr(L, "_CONV_IMPL", "xla")
+    ref = L.conv2d(p, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+    # ineligible shape (stride 2) falls back to XLA under winograd mode
+    monkeypatch.setattr(L, "_CONV_IMPL", "winograd")
+    calls.clear()
+    y = L.conv2d(p, x, stride=2)
+    assert calls == [] and y.shape == (1, 2, 4, 128)
+
+
 def test_vjp_is_xla_gradient():
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
     x = _rand(k1, (1, 4, 8, 128), jnp.float32)
