@@ -47,10 +47,10 @@ marigold_tpu/models/layers.py:conv2d).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -90,6 +90,13 @@ def supports(x_shape, w_shape, stride, padding, dtype) -> bool:
         return False
     h, w = x_shape[1], x_shape[2]
     if h % 2 or w % 2:
+        return False
+    # The host-side phase/output shuffles materialize ~input-sized copies;
+    # at the largest VAE-decode levels that can push a program over HBM
+    # (the nine-tap kernel measurably did). MARIGOLD_TPU_WINO_MAX_HW caps
+    # the spatial size winograd claims (pixels, H*W); 0 = unlimited.
+    max_hw = int(os.environ.get("MARIGOLD_TPU_WINO_MAX_HW", "0"))
+    if max_hw and h * w > max_hw:
         return False
     return _plan(x_shape, w_shape, jnp.dtype(dtype).itemsize) is not None
 

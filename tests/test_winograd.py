@@ -66,7 +66,7 @@ def test_k_blocking_path():
         wg._U_BUDGET = old
 
 
-def test_supports_gating():
+def test_supports_gating(monkeypatch):
     sh = (1, 8, 16, 128)
     wsh = (3, 3, 128, 128)
     pad = [(1, 1), (1, 1)]
@@ -75,6 +75,10 @@ def test_supports_gating():
     assert not wg.supports(sh, (1, 1, 128, 128), 1, pad, jnp.bfloat16)  # 1x1
     assert not wg.supports((1, 7, 16, 128), wsh, 1, pad, jnp.bfloat16)  # odd H
     assert not wg.supports((1, 8, 16, 64), (3, 3, 64, 128), 1, pad, jnp.bfloat16)
+    monkeypatch.setenv("MARIGOLD_TPU_WINO_MAX_HW", str(8 * 16 - 1))
+    assert not wg.supports(sh, wsh, 1, pad, jnp.bfloat16)  # H*W cap
+    monkeypatch.setenv("MARIGOLD_TPU_WINO_MAX_HW", str(8 * 16))
+    assert wg.supports(sh, wsh, 1, pad, jnp.bfloat16)
 
 
 def test_conv2d_dispatch_routes_and_matches(monkeypatch):
