@@ -463,19 +463,21 @@ class DiffusionCore:
         improving MXU utilization over per-image serving."""
         from marigold_tpu.pipelines import ensemble as ens
 
-        if getattr(self, "lcm", None) is not None:
-            # the batched program drives a plain DDIM table; silently
-            # sampling an LCM checkpoint with it would produce garbage —
-            # the single-image fused path implements the LCM sampler
-            raise ValueError(
-                "batched serving does not support LCM checkpoints; use the "
-                "single-image pipeline call"
-            )
         schedule = self.schedule
+        lcm = getattr(self, "lcm", None)
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
-        ts = schedule.inference_timesteps(num_steps)
-        prev_ts = schedule.prev_timesteps(ts)
-        ts_table = jnp.asarray(np.stack([ts, prev_ts], 1), jnp.int32)
+        if lcm is not None:
+            # legacy v1-0 LCM checkpoints batch-serve too: the scan drives
+            # the consistency sampler (renoise toward the next t with fresh
+            # per-step noise) instead of DDIM, keyed like the fused path
+            ts = lcm.inference_timesteps(num_steps)
+            prev_ts = np.concatenate([ts[1:], [-1]])
+        else:
+            ts = schedule.inference_timesteps(num_steps)
+            prev_ts = schedule.prev_timesteps(ts)
+        step_idx = np.arange(len(ts))
+        ts_table = jnp.asarray(np.stack([ts, prev_ts, step_idx], 1), jnp.int32)
+        n_steps_total = len(ts)
         latent_ch = vae_cfg.latent_channels
         target_ch = latent_ch * max(n_targets, 1)
         E, NI = ensemble_size, n_images
@@ -492,17 +494,26 @@ class DiffusionCore:
         d_pad = n_dec * dec_chunk
         ens_kwargs = dict(ensemble_opts)
 
-        def denoise(unet_params, rgb_rows, noise, text):
+        def denoise(unet_params, rgb_rows, noise, text, lcm_key=None):
+            # NOTE: lcm_key must already be chunk-distinct when chunked
+            # (see the fold_in at the lax.map below)
             target = noise.astype(self.dtype)
 
             def step(carry, t_pair):
                 x = jnp.concatenate([rgb_rows, carry], axis=-1)
                 out = unet_lib.apply(unet_params, unet_cfg, x, t_pair[0], text)
-                return (
-                    schedule.ddim_step(out, t_pair[0], t_pair[1], carry)
-                    .astype(self.dtype),
-                    None,
-                )
+                if lcm is not None:
+                    fresh = jax.random.normal(
+                        jax.random.fold_in(lcm_key, t_pair[2]),
+                        carry.shape, jnp.float32,
+                    )
+                    new, _ = lcm.step(
+                        out, t_pair[0], t_pair[1], carry, fresh,
+                        is_last=t_pair[2] == n_steps_total - 1,
+                    )
+                else:
+                    new = schedule.ddim_step(out, t_pair[0], t_pair[1], carry)
+                return new.astype(self.dtype), None
 
             target, _ = jax.lax.scan(step, target, ts_table)
             return target  # [rows, h, w, 4n] latents
@@ -567,6 +578,9 @@ class DiffusionCore:
                 vae_params, vae_cfg, rgb.astype(self.dtype)
             )  # [NI,h,w,4]
             h_lat, w_lat = rgb_lat.shape[1], rgb_lat.shape[2]
+            key_lcm = None
+            if lcm is not None:
+                key, key_lcm = jax.random.split(key)
             noise = jax.random.normal(
                 key, (NI, E, h_lat, w_lat, target_ch), jnp.float32
             ).reshape(total, h_lat, w_lat, target_ch)
@@ -577,13 +591,18 @@ class DiffusionCore:
                 rgb_rows = jnp.concatenate([rgb_rows, rgb_rows[:pad_n]], axis=0)
 
             if n_chunks == 1:
-                latents = denoise(unet_params, rgb_rows, noise, text)
+                latents = denoise(unet_params, rgb_rows, noise, text, key_lcm)
             else:
                 rr = rgb_rows.reshape((n_chunks, chunk) + rgb_rows.shape[1:])
                 nn = noise.reshape((n_chunks, chunk) + noise.shape[1:])
+                chunk_ids = jnp.arange(n_chunks, dtype=jnp.uint32)
                 latents = jax.lax.map(
-                    lambda ab: denoise(unet_params, ab[0], ab[1], text),
-                    (rr, nn),
+                    lambda ab: denoise(
+                        unet_params, ab[0], ab[1], text,
+                        (jax.random.fold_in(key_lcm, ab[2])
+                         if key_lcm is not None else None),
+                    ),
+                    (rr, nn, chunk_ids),
                 )
                 latents = latents.reshape((t_pad,) + latents.shape[2:])
             latents = latents[:total]

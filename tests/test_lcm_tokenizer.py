@@ -141,3 +141,61 @@ def test_lcm_checkpoint_pipeline(tmp_path, rng):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="LCM"):
         npipe(img, denoising_steps=2, processing_res=32, show_progress_bar=False)
+
+
+def test_lcm_batched_serving(tmp_path, rng, monkeypatch):
+    """Batched multi-image serving must drive the LCM consistency sampler
+    (not DDIM) for v1-0 LCM checkpoints: deterministic in seed, distinct
+    across images, and the LCM step is actually traced into the program
+    (reference accepts LCMScheduler in the depth pipeline,
+    marigold_depth_pipeline.py:368-377; batching it is a serving-side
+    capability the reference runs one image at a time)."""
+    import json, os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_tiny_checkpoint
+
+    d = make_tiny_checkpoint(str(tmp_path / "ck"), mode="depth")
+    cfg_path = os.path.join(d, "scheduler", "scheduler_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["_class_name"] = "LCMScheduler"
+    cfg["original_inference_steps"] = 50
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    from marigold_tpu import MarigoldDepthPipeline
+    from marigold_tpu.core.lcm import LCMSchedule
+
+    calls = {"n": 0}
+    orig_step = LCMSchedule.step
+
+    def counting_step(self, *a, **kw):
+        calls["n"] += 1
+        return orig_step(self, *a, **kw)
+
+    monkeypatch.setattr(LCMSchedule, "step", counting_step)
+
+    pipe = MarigoldDepthPipeline.from_pretrained(d, dtype=jnp.float32)
+    assert pipe.core.lcm is not None
+    imgs = [
+        np.random.default_rng(i).integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        for i in range(3)
+    ]
+    # batch_size=2 forces the chunked lax.map path (3 img x 2 members = 6
+    # rows in chunks of 2) whose fresh-noise keys must be chunk-distinct
+    outs = pipe.batch_call(
+        imgs, denoising_steps=2, ensemble_size=2, processing_res=32,
+        batch_size=2, seed=11,
+    )
+    assert calls["n"] >= 1  # the consistency sampler was traced, not DDIM
+    assert len(outs) == 3
+    for o in outs:
+        assert o.depth_np.shape == (40, 48)
+        assert np.isfinite(o.depth_np).all()
+        assert 0.0 <= o.depth_np.min() and o.depth_np.max() <= 1.0
+    assert not np.array_equal(outs[0].depth_np, outs[1].depth_np)
+    outs2 = pipe.batch_call(
+        imgs, denoising_steps=2, ensemble_size=2, processing_res=32,
+        batch_size=2, seed=11,
+    )
+    np.testing.assert_array_equal(outs[2].depth_np, outs2[2].depth_np)
