@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_wait", type=float, default=2.0,
                    help="Max seconds to hold an under-full batch before "
                         "running it at its actual size")
+    p.add_argument("--read_retry_window", type=float, default=None,
+                   help="Seconds an unreadable file (e.g. an upload in "
+                        "progress) keeps being retried before it is "
+                        "skipped for good (default max(30, 4*batch_wait))")
     p.add_argument("--once", action="store_true",
                    help="Process everything currently present, then exit")
     p.add_argument("--seed", type=int, default=None)
@@ -144,7 +148,16 @@ def serve(args) -> int:
     pipe = _load_pipeline(args)
 
     seen: set = set()
-    read_failures: dict = {}  # path -> consecutive failed-open count
+    # path -> [n_fail, first_fail_t, next_retry_t]: a partially-written
+    # upload gets retried on a clock (not a per-poll-iteration counter —
+    # a busy server loops in milliseconds and would burn any attempt
+    # budget before the copy finishes) and is only skipped for good once
+    # it has stayed unreadable for a whole retry window.
+    read_failures: dict = {}
+    read_retry_window = (
+        args.read_retry_window if args.read_retry_window is not None
+        else max(30.0, 4 * args.batch_wait)
+    )
     # buckets: input (H, W) -> deque of (path, PIL image, t_enqueued)
     buckets: dict = collections.defaultdict(collections.deque)
     n_done = 0
@@ -184,24 +197,31 @@ def serve(args) -> int:
     try:
         while True:
             for path in _scan_new(args.watch_dir, seen):
+                t_scan = time.monotonic()
+                rf = read_failures.get(path)
+                if rf is not None and t_scan < rf[2]:
+                    seen.discard(path)  # retry not due yet; keep pending
+                    continue
                 try:
                     im = Image.open(path).convert("RGB")
-                except Exception:
-                    # A partially-written file (upload/copy in progress)
-                    # fails once; un-mark it so the next poll retries
-                    # instead of skipping it forever. Give up after 20
-                    # consecutive failures (a genuinely corrupt file).
-                    n_fail = read_failures.get(path, 0) + 1
-                    if n_fail < 20:
-                        read_failures[path] = n_fail
+                except Exception as e:
+                    n_fail = (rf[0] if rf else 0) + 1
+                    first_t = rf[1] if rf else t_scan
+                    if t_scan - first_t < read_retry_window:
+                        read_failures[path] = [
+                            n_fail, first_t,
+                            t_scan + max(0.5, args.poll_interval),
+                        ]
                         seen.discard(path)
                         logging.warning(f"failed to read {path} "
                                         f"(attempt {n_fail}); will retry")
                     else:
                         read_failures.pop(path, None)
+                        failures.append(e)
                         logging.exception(
-                            f"failed to read {path} after {n_fail} "
-                            "attempts; skipping permanently")
+                            f"failed to read {path}: unreadable for "
+                            f"{read_retry_window:.0f}s ({n_fail} attempts); "
+                            "skipping permanently")
                     continue
                 read_failures.pop(path, None)
                 buckets[im.size].append((path, im, time.time()))
@@ -229,7 +249,11 @@ def serve(args) -> int:
                 n_done += f.result()
                 futures.remove(f)
 
-            if args.once and not buckets and not futures and not dispatched:
+            # --once drains pending read-retries too: a mid-copy file that
+            # failed its first open must get its retry window (it would
+            # otherwise be silently dropped with exit code 0)
+            if (args.once and not buckets and not futures
+                    and not dispatched and not read_failures):
                 break
             if not dispatched:
                 time.sleep(args.poll_interval)

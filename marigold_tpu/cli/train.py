@@ -20,16 +20,34 @@ import shutil
 from datetime import datetime, timedelta
 
 
-def _wait_for_dir(path: str, timeout_s: float = 120.0) -> None:
-    """Block until `path` exists (created by process 0 on the shared fs)."""
+_RUN_MARKER = ".run_marker"
+
+
+def _wait_for_dir(path: str, token: str, timeout_s: float = 120.0) -> None:
+    """Block until process 0 creates `path` *for this run* on the shared
+    fs: the directory existing is not enough — a stale dir from a previous
+    run would make non-main processes latch onto it (and train into it)
+    while process 0 fails fast with FileExistsError. Process 0 writes the
+    broadcast run token into a marker file; we wait for a matching one."""
     import time
 
+    marker = os.path.join(path, _RUN_MARKER)
     deadline = time.monotonic() + timeout_s
-    while not os.path.isdir(path):
+    while True:
+        if os.path.isfile(marker):
+            try:
+                with open(marker) as f:
+                    if f.read().strip() == token:
+                        return
+            except OSError:
+                pass
         if time.monotonic() > deadline:
             raise TimeoutError(
-                f"run dir {path} was not created by process 0 within "
-                f"{timeout_s:.0f}s"
+                f"run dir {path} was not created by process 0 (marker with "
+                f"token {token!r}) within {timeout_s:.0f}s — if the dir "
+                "pre-exists from an earlier run, process 0 has failed fast "
+                "with FileExistsError; remove it or use "
+                "--add_datetime_prefix"
             )
         time.sleep(0.5)
 
@@ -116,13 +134,24 @@ def main(argv=None):
     # filesystem, only process 0 may create the run dir (exist_ok=False
     # would crash the other N-1) or start a wandb run (N duplicates).
     is_main = True
+    # all processes must agree on this token: it prefixes the run dir when
+    # --add_datetime_prefix is set (each process computing its own
+    # timestamp would diverge on clock skew or a second boundary) and
+    # marks the run dir as created by THIS run (see _wait_for_dir)
+    run_token = t_start.strftime("%y_%m_%d-%H_%M_%S")
     if args.multihost:
         from marigold_tpu.parallel.mesh import init_distributed
 
         n_proc = init_distributed()
         import jax
+        import numpy as np
+        from jax.experimental import multihost_utils
 
         is_main = jax.process_index() == 0
+        tok = np.frombuffer(run_token.encode(), dtype=np.uint8)
+        run_token = bytes(
+            np.asarray(multihost_utils.broadcast_one_to_all(tok))
+        ).decode().strip()
         logging.info(f"multihost: {n_proc} process(es), "
                      f"process_index={jax.process_index()}")
 
@@ -134,16 +163,19 @@ def main(argv=None):
         cfg = recursive_load_config(args.config)
         run_name = os.path.splitext(os.path.basename(args.config))[0]
         if args.add_datetime_prefix:
-            run_name = f"{t_start.strftime('%y_%m_%d-%H_%M_%S')}-{run_name}"
+            run_name = f"{run_token}-{run_name}"
         out_dir_run = os.path.join(args.output_dir or "output", run_name)
         if is_main:
             # exist_ok=False like the reference (train.py:163): without the
             # datetime prefix a rerun of the same config must not silently
             # write into (and corrupt) the previous run's directory
             os.makedirs(out_dir_run, exist_ok=False)
+            if args.multihost:
+                with open(os.path.join(out_dir_run, _RUN_MARKER), "w") as f:
+                    f.write(run_token)
         else:
             # non-zero processes join the dir process 0 creates
-            _wait_for_dir(out_dir_run)
+            _wait_for_dir(out_dir_run, run_token)
 
     out_dir_ckpt = os.path.join(out_dir_run, "checkpoint")
     out_dir_tb = os.path.join(out_dir_run, "tensorboard")

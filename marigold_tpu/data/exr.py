@@ -71,11 +71,15 @@ def read_exr(data: bytes) -> np.ndarray:
     if len(data) < 8 or struct.unpack_from("<i", data, 0)[0] != _MAGIC:
         raise ExrError("not an EXR file (bad magic)")
     version = struct.unpack_from("<i", data, 4)[0]
-    if version & 0x200:
+    # version-field flag bits (OpenEXRFileLayout): 9 = tiled, 11 = deep
+    # data, 12 = multi-part; the low byte is the format version number
+    if version & 0x1000:
         raise ExrError("multi-part EXR is not supported")
+    if version & 0x200:
+        raise ExrError("tiled EXR is not supported")
     if version & 0x800:
         raise ExrError("deep-data EXR is not supported")
-    if version & 0x1FF not in (1, 2):
+    if version & 0xFF not in (1, 2):
         raise ExrError(f"unsupported EXR version {version}")
 
     pos = 8

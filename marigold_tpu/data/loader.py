@@ -13,9 +13,13 @@ are assembled — in both the 0-worker thread path and the forked-worker
 path. So seeded runs reproduce their augmentations exactly, a resumed run
 replays the same seeds the uninterrupted run would have used for the
 remaining batches, and 0-worker and N-worker runs see the same
-augmentation stream. The process-global `random`/`np.random` state is
-never mutated from the prefetch thread (it would race with concurrent
-main-thread consumers).
+augmentation stream. The contract covers datasets drawing from
+`data/rng.py` (all in-repo datasets do); forked workers additionally
+reseed the process-global `random`/`np.random` as an escape hatch for
+user datasets that still consume them, but the 0-worker thread path
+deliberately does NOT (mutating process globals from the prefetch thread
+races with concurrent main-thread consumers, e.g. validation) — such
+datasets are reproducible only with `num_workers > 0`.
 """
 
 from __future__ import annotations

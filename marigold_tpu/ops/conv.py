@@ -81,38 +81,39 @@ def supports(x_shape, w_shape, stride, padding, dtype) -> bool:
 
 
 def _plan(x_shape, w_shape, itemsize):
-    """Pick (TH, BK): H-tile height and K block. None if nothing fits."""
+    """Pick (TH, BK): H-tile height and K block. None if nothing fits.
+
+    BK candidates largest-first: every extra K sweep re-DMAs the input
+    window (grid (B, KT, HT), HT fastest — input HBM reads scale with
+    KT), so prefer the whole K panel and fall back to smaller
+    128-multiple divisors only when no H tile fits beside it."""
     _, h, w, c = x_shape
     k = w_shape[3]
-    # K block: prefer the whole K panel; else the largest 128-multiple
-    # divisor of K under budget.
-    if 9 * c * k * itemsize <= _W_BUDGET:
-        bk = k
-    else:
-        bk = 0
-        for cand in range(128, k, 128):
-            if k % cand == 0 and 9 * c * cand * itemsize <= _W_BUDGET:
-                bk = cand
-        if bk == 0:
-            return None
-    # H tile: largest divisor of H whose working set fits VMEM.
-    best = None
-    for th in range(1, h + 1):
-        if h % th:
-            continue
-        m = th * w
-        if best is not None and m > _TARGET_M:
-            break
-        need = (
-            (th + 2) * w * c * itemsize  # input window
-            + m * bk * 4  # fp32 accumulator
-            + 2 * m * bk * itemsize  # output tile (double-buffered)
-            + 2 * 9 * c * bk * itemsize  # weight panel (double-buffered)
-            + 9 * m * c * itemsize  # all nine shifted slices stay live
-        )
-        if need <= _VMEM_BUDGET:
-            best = th
-    return None if best is None else (best, bk)
+    bk_cands = [
+        cand for cand in range(128, k + 1, 128)
+        if k % cand == 0 and 9 * c * cand * itemsize <= _W_BUDGET
+    ]
+    for bk in sorted(bk_cands, reverse=True):
+        # H tile: largest divisor of H whose working set fits VMEM.
+        best = None
+        for th in range(1, h + 1):
+            if h % th:
+                continue
+            m = th * w
+            if best is not None and m > _TARGET_M:
+                break
+            need = (
+                (th + 2) * w * c * itemsize  # input window
+                + m * bk * 4  # fp32 accumulator
+                + 2 * m * bk * itemsize  # output tile (double-buffered)
+                + 2 * 9 * c * bk * itemsize  # weight panel (dbl-buffered)
+                + 9 * m * c * itemsize  # all nine shifted slices live
+            )
+            if need <= _VMEM_BUDGET:
+                best = th
+        if best is not None:
+            return (best, bk)
+    return None
 
 
 def _kernel(x_hbm, w_ref, b_ref, out_ref, xs_ref, sem, *, W, TH, C, out_dtype):

@@ -102,39 +102,44 @@ def supports(x_shape, w_shape, stride, padding, dtype) -> bool:
 
 
 def _plan(x_shape, w_shape, itemsize):
-    """Pick (T, BK): output-tile rows per grid step and K block."""
+    """Pick (T, BK): output-tile rows per grid step and K block.
+
+    BK candidates are tried largest-first: a bigger K panel means fewer
+    K sweeps, and each extra sweep re-DMAs every phase window (the grid
+    is (B, KT, HT) with HT fastest, so input HBM reads scale with KT).
+    But the largest panel can leave no VMEM for any row tile at wide
+    channel counts — fall back to smaller 128-multiple divisors of K
+    before giving up."""
     _, h, w, c = x_shape
     k = w_shape[3]
     ht = h // 2  # tile rows
     wh1 = _phase_w(w)  # phase width (includes alignment columns)
-    if 16 * c * k * itemsize <= _U_BUDGET:
-        bk = k
-    else:
-        bk = 0
-        for cand in range(128, k, 128):
-            if k % cand == 0 and 16 * c * cand * itemsize <= _U_BUDGET:
-                bk = cand
-        if bk == 0:
-            return None
-    best = None
-    for t in range(1, ht + 1):
-        if ht % t:
-            continue
-        m = t * wh1
-        if best is not None and m > _TARGET_M:
-            break
-        need = (
-            4 * (t + 1) * wh1 * c * itemsize  # four phase windows
-            + 16 * m * c * itemsize  # all 16 F slices live
-            + m * c * itemsize  # one live V
-            + m * bk * 4  # one matmul result
-            + 4 * m * bk * 4  # four fp32 Y accumulators
-            + 2 * 16 * c * bk * itemsize  # U panel (double-buffered)
-            + 2 * 4 * m * bk * itemsize  # output phases (double-buffered)
-        )
-        if need <= _VMEM_BUDGET:
-            best = (t, m)
-    return None if best is None else (best[0], bk)
+    bk_cands = [
+        cand for cand in range(128, k + 1, 128)
+        if k % cand == 0 and 16 * c * cand * itemsize <= _U_BUDGET
+    ]
+    for bk in sorted(bk_cands, reverse=True):
+        best = None
+        for t in range(1, ht + 1):
+            if ht % t:
+                continue
+            m = t * wh1
+            if best is not None and m > _TARGET_M:
+                break
+            need = (
+                4 * (t + 1) * wh1 * c * itemsize  # four phase windows
+                + 16 * m * c * itemsize  # all 16 F slices live
+                + m * c * itemsize  # one live V
+                + m * bk * 4  # one matmul result
+                + 4 * m * bk * 4  # four fp32 Y accumulators
+                + 2 * 16 * c * bk * itemsize  # U panel (double-buffered)
+                + 2 * 4 * m * bk * itemsize  # output phases (dbl-buffered)
+            )
+            if need <= _VMEM_BUDGET:
+                best = (t, m)
+        if best is not None:
+            return (best[0], bk)
+    return None
 
 
 def _kernel(x_hbm, u_ref, b_ref, out_ref, win_ref, sems, *, Wh1, T, C, out_dtype):

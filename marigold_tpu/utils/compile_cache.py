@@ -33,7 +33,18 @@ def enable_persistent_compile_cache(cache_dir: str | None = None) -> str:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "marigold_tpu", "jax_cache"
         )
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError as e:
+        # best-effort: a read-only or absent $HOME (deployment containers)
+        # must not take down CLI startup — run uncached instead
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "persistent compile cache disabled: cannot create %s (%s)",
+            cache_dir, e,
+        )
+        return ""
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # only cache programs worth caching (sub-second compiles cost more in
     # disk churn than they save)

@@ -54,7 +54,9 @@ def main():
     from marigold_tpu.models import unet as unet_lib
     from marigold_tpu.models import vae as vae_lib
 
-    impl = os.environ.get("MARIGOLD_TPU_CONV", "pallas")
+    # label must mirror the dispatch default in models/layers.py ("xla"):
+    # an unlabeled run routes through the XLA emitter and must say so
+    impl = os.environ.get("MARIGOLD_TPU_CONV", "xla")
     key = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16
 

@@ -246,3 +246,100 @@ def test_cli_train_rerun_does_not_overwrite_run_dir(tmp_path):
             "--config", str(cfg_path), "--output_dir", str(out_dir),
             "--no_val",
         ])
+
+
+def test_serve_once_retries_partial_file(depth_ckpt, tmp_path, rng):
+    """A file that fails to open (upload in progress) must be retried on a
+    clock until it becomes readable — not burned through a per-iteration
+    attempt budget or dropped by --once before its retry window."""
+    import threading
+
+    from marigold_tpu.cli.serve import main as serve_main
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(watch / "good.png")
+    # a truncated copy of a valid PNG: Image.open fails until it is fixed
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    full = buf.getvalue()
+    partial = watch / "late.png"
+    partial.write_bytes(full[: len(full) // 2])
+
+    def fix():
+        partial.write_bytes(full)
+
+    t = threading.Timer(1.5, fix)
+    t.start()
+    try:
+        rc = serve_main([
+            "--checkpoint", depth_ckpt,
+            "--modality", "depth",
+            "--watch_dir", str(watch),
+            "--output_dir", str(tmp_path / "out"),
+            "--batch_images", "1",
+            "--ensemble_size", "1",
+            "--denoise_steps", "1",
+            "--processing_res", "32",
+            "--poll_interval", "0.2",
+            "--read_retry_window", "30",
+            "--once",
+            "--color_map", "None",
+        ])
+    finally:
+        t.join()
+    assert rc == 0
+    assert (tmp_path / "out" / "depth_npy" / "good_pred.npy").exists()
+    assert (tmp_path / "out" / "depth_npy" / "late_pred.npy").exists()
+
+
+def test_serve_once_corrupt_file_reports_failure(depth_ckpt, tmp_path, rng):
+    """A genuinely unreadable file is skipped after the retry window — and
+    --once reports it in the exit code instead of silently returning 0."""
+    from marigold_tpu.cli.serve import main as serve_main
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(watch / "good.png")
+    (watch / "bad.png").write_bytes(b"\x89PNG not really")
+
+    rc = serve_main([
+        "--checkpoint", depth_ckpt,
+        "--modality", "depth",
+        "--watch_dir", str(watch),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_images", "1",
+        "--ensemble_size", "1",
+        "--denoise_steps", "1",
+        "--processing_res", "32",
+        "--poll_interval", "0.1",
+        "--read_retry_window", "0.5",
+        "--once",
+        "--color_map", "None",
+    ])
+    assert rc == 1  # the skipped file is a reported failure
+    assert (tmp_path / "out" / "depth_npy" / "good_pred.npy").exists()
+    assert not (tmp_path / "out" / "depth_npy" / "bad_pred.npy").exists()
+
+
+def test_wait_for_dir_rejects_stale_run_dir(tmp_path):
+    """Non-main multihost processes must not latch onto a run dir left by
+    a previous run (process 0 fails fast with FileExistsError in that
+    case); only a marker carrying THIS run's broadcast token admits them."""
+    from marigold_tpu.cli.train import _RUN_MARKER, _wait_for_dir
+
+    stale = tmp_path / "run"
+    stale.mkdir()  # pre-existing dir, no marker
+    with pytest.raises(TimeoutError):
+        _wait_for_dir(str(stale), "tok-a", timeout_s=1.0)
+
+    (stale / _RUN_MARKER).write_text("tok-old")  # marker from another run
+    with pytest.raises(TimeoutError):
+        _wait_for_dir(str(stale), "tok-a", timeout_s=1.0)
+
+    (stale / _RUN_MARKER).write_text("tok-a")
+    _wait_for_dir(str(stale), "tok-a", timeout_s=1.0)  # returns

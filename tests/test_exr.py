@@ -127,3 +127,26 @@ def test_unsupported_compression_raises():
 def test_bad_magic_raises():
     with pytest.raises(ExrError, match="magic"):
         read_exr(b"nonsense-bytes")
+
+
+def test_version_flag_bits():
+    """Version-field flags (OpenEXRFileLayout): bit 12 = multi-part,
+    bit 9 = tiled, bit 11 = deep. A multi-part file must be rejected as
+    such — its header would otherwise be misparsed as a single-part one
+    (part 2's header read as the offset table)."""
+    a = np.zeros((4, 4, 3), np.float32)
+    base = _encode_exr_zip_half(a)
+
+    def with_version(v):
+        d = bytearray(base)
+        struct.pack_into("<i", d, 4, v)
+        return bytes(d)
+
+    with pytest.raises(ExrError, match="multi-part"):
+        read_exr(with_version(2 | 0x1000))
+    with pytest.raises(ExrError, match="tiled"):
+        read_exr(with_version(2 | 0x200))
+    with pytest.raises(ExrError, match="deep"):
+        read_exr(with_version(2 | 0x800))
+    with pytest.raises(ExrError, match="version"):
+        read_exr(with_version(3))

@@ -136,3 +136,21 @@ def test_vjp_is_xla_gradient():
     gx = jax.grad(f_xla, argnums=(0, 1, 2))(x, w, b)
     for a, r in zip(gw, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
+
+
+def test_plan_falls_back_to_smaller_k_block():
+    """384x384x512 (the 768px-serving VAE decoder level): at BK=256 the
+    double-buffered U panel leaves no VMEM for any row tile, so the plan
+    must fall back to BK=128 instead of rejecting the shape (pre-fix the
+    planner bailed after trying only the largest fitting BK)."""
+    plan = wg._plan((1, 384, 384, 512), (3, 3, 512, 512), 2)
+    assert plan is not None
+    t, bk = plan
+    assert bk == 128
+    assert 384 // 2 % t == 0
+    assert wg.supports(
+        (1, 384, 384, 512), (3, 3, 512, 512), 1, [(1, 1), (1, 1)],
+        jnp.bfloat16,
+    )
+    # nine-tap planner: same fallback structure (no shape regression)
+    assert pc._plan((1, 48, 48, 640), (3, 3, 640, 640), 2) is not None
