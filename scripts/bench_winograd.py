@@ -23,13 +23,16 @@ import jax.numpy as jnp
 PEAK_TFLOPS = 197.0  # v5e bf16
 
 # VAE decoder levels at the 20-row decode chunk, plus the UNet levels with
-# 128-multiple channels at the NI=4 serving batch.
+# 128-multiple channels at the NI=4 serving batch. (B, H, W, C, K):
+# 384x384x512->256 is the up-block-2 transition conv the BK-fallback
+# planner newly covers (BK=128).
 SHAPES = [
-    (20, 192, 192, 512),
-    (20, 384, 384, 256),
-    (20, 768, 768, 128),
-    (40, 48, 48, 640),
-    (40, 24, 24, 1280),
+    (20, 192, 192, 512, 512),
+    (20, 384, 384, 512, 256),
+    (20, 384, 384, 256, 256),
+    (20, 768, 768, 128, 128),
+    (40, 48, 48, 640, 640),
+    (40, 24, 24, 1280, 1280),
 ]
 
 
@@ -39,9 +42,10 @@ def device_time_per_iter(fn, x, iters):
     trace_dir = "/tmp/winotrace"  # arrays crawl through the tunnel)
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
+        out = None
         for _ in range(iters):
-            x = run(x)
-        x.block_until_ready()
+            out = run(x)  # no chaining: K may differ from C
+        out.block_until_ready()
     paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
     with gzip.open(paths[-1]) as f:
         data = json.load(f)
@@ -70,18 +74,18 @@ def main():
 
     key = jax.random.PRNGKey(0)
     dt = jnp.bfloat16
-    for (B, H, W, C) in SHAPES:
+    for (B, H, W, C, K) in SHAPES:
         x = jax.random.normal(key, (B, H, W, C), dt)
-        w = (jax.random.normal(key, (3, 3, C, C), jnp.float32) * 0.02).astype(dt)
-        b = jnp.zeros((C,), dt)
-        flops = 2.0 * 9 * B * H * W * C * C
+        w = (jax.random.normal(key, (3, 3, C, K), jnp.float32) * 0.02).astype(dt)
+        b = jnp.zeros((K,), dt)
+        flops = 2.0 * 9 * B * H * W * C * K
 
         def rep(tag, s):
             tf = flops / s / 1e12
             print(f"  {tag:9s} {s*1e3:8.2f} ms  {tf:6.1f} TF/s ({100*tf/PEAK_TFLOPS:5.1f}% dMFU)", flush=True)
 
         secs_x = device_time_per_iter(lambda x: pc._xla_conv(x, w, b), x, args.iters)
-        print(f"[{B},{H},{W},{C}]", flush=True)
+        print(f"[{B},{H},{W},{C}->{K}]", flush=True)
         rep("xla", secs_x)
         if pc.supports(x.shape, w.shape, 1, [(1, 1), (1, 1)], dt):
             rep("ninetap", device_time_per_iter(lambda x: pc.conv3x3(x, w, b), x, args.iters))
