@@ -292,6 +292,19 @@ def main(argv=None):
         prob=list(cfg.dataset.train.get("prob_ls") or []) or None,
         generator=random.Random(loader_seed),
     )
+    n_shard, i_shard = 1, 0
+    if args.multihost:
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host data parallelism: all processes share the seeded
+            # batch stream and each takes its stride, so the per-step
+            # global batch (global_batch_from_local concatenation) is
+            # process_count DISTINCT batches — without this every process
+            # drew the same samples and DP gradients were N duplicates
+            n_shard, i_shard = jax.process_count(), jax.process_index()
+            logging.info(f"data sharding: process {i_shard}/{n_shard} "
+                         f"takes every {n_shard}-th batch")
     train_loader = DataLoader(
         concat, batch_sampler=sampler,
         num_workers=int(cfg.dataloader.get("num_workers", 0)),
@@ -299,6 +312,8 @@ def main(argv=None):
         # determinism contract); without it, seeded runs reproduced the
         # batch ORDER but not the augmentations
         seed=loader_seed,
+        shard_count=n_shard,
+        shard_index=i_shard,
     )
 
     def _mk_eval_loaders(split):

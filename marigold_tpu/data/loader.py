@@ -99,11 +99,25 @@ class DataLoader:
         collate_fn=default_collate,
         prefetch: int = 2,
         num_workers: int = 0,
+        shard_count: int = 1,
+        shard_index: int = 0,
     ):
         """num_workers > 0 assembles batches in forked worker processes
         (reference DataLoader num_workers, config train_*.yaml) — decode +
         augmentation scale with host cores; 0 keeps the single background
-        prefetch thread."""
+        prefetch thread.
+
+        shard_count/shard_index: multi-host data parallelism. All
+        processes construct the loader with the SAME seed (so the global
+        batch/seed stream is identical everywhere), and process p yields
+        only global batches p, p+N, p+2N, ... — each step's global batch
+        (mesh.global_batch_from_local concatenation) is then N *distinct*
+        consecutive batches of the stream, not N copies of one. The
+        stream is truncated to floor(len/N) per process so every process
+        runs the same number of steps per epoch (unequal counts would
+        desync the training collectives at the epoch boundary).
+        skip_first_batches counts LOCAL batches, matching the trainer's
+        per-process n_batch_in_epoch bookkeeping."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -113,6 +127,13 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self.num_workers = int(num_workers)
+        if not (0 <= int(shard_index) < int(shard_count)):
+            raise ValueError(
+                f"shard_index {shard_index} out of range for "
+                f"shard_count {shard_count}"
+            )
+        self.shard_count = int(shard_count)
+        self.shard_index = int(shard_index)
         self._skip = 0
 
     def _batches(self) -> Iterable[list]:
@@ -136,11 +157,16 @@ class DataLoader:
 
     def __len__(self):
         if self.batch_sampler is not None:
-            return len(self.batch_sampler)
-        n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            n_batches = len(self.batch_sampler)
+        else:
+            n = len(self.dataset)
+            n_batches = (
+                n // self.batch_size if self.drop_last
+                else -(-n // self.batch_size)
+            )
+        if self.shard_count > 1:
+            return n_batches // self.shard_count
+        return n_batches
 
     def __iter__(self):
         skip = self._skip
@@ -151,6 +177,17 @@ class DataLoader:
         # have used for the remaining batches, and the rng leaves the
         # epoch in the same state either way
         all_seeds = [self.rng.randrange(2**31) for _ in all_batches]
+        if self.shard_count > 1:
+            # every process drew the identical stream above (same seed);
+            # take this process's stride so global batches are disjoint,
+            # truncated to a common per-process count (see __init__)
+            n_local = len(all_batches) // self.shard_count
+            sel = [
+                i * self.shard_count + self.shard_index
+                for i in range(n_local)
+            ]
+            all_batches = [all_batches[i] for i in sel]
+            all_seeds = [all_seeds[i] for i in sel]
         batch_lists = all_batches[skip:]
         seeds = all_seeds[skip:]
 

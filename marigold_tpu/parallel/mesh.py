@@ -124,10 +124,13 @@ def init_distributed(
     """Multi-host entry: initialize jax.distributed (single program per
     host; chips within a host talk over ICI, hosts over DCN).
 
-    With no arguments, relies on the cluster environment (TPU pod
-    metadata / Slurm) for auto-detection, as jax.distributed.initialize
-    does. No-op when already initialized or on a single process where
-    auto-detection finds nothing. Returns jax.process_count().
+    With no arguments, first honors the MARIGOLD_TPU_COORDINATOR /
+    MARIGOLD_TPU_NUM_PROCESSES / MARIGOLD_TPU_PROCESS_ID environment
+    variables (manual launches without a scheduler, torchrun-style),
+    then relies on the cluster environment (TPU pod metadata / Slurm)
+    for auto-detection, as jax.distributed.initialize does. No-op when
+    already initialized or on a single process where auto-detection
+    finds nothing. Returns jax.process_count().
 
     Design note (SURVEY.md §2.6): the `data` mesh axis simply spans all
     global devices — XLA lowers the gradient psum hierarchically
@@ -136,8 +139,14 @@ def init_distributed(
     for data parallelism. ZeRO-1 state sharding composes unchanged: each
     process holds only its addressable shards of the optimizer state.
     """
-    import jax
+    import os
 
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("MARIGOLD_TPU_COORDINATOR")
+    if num_processes is None and "MARIGOLD_TPU_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["MARIGOLD_TPU_NUM_PROCESSES"])
+    if process_id is None and "MARIGOLD_TPU_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["MARIGOLD_TPU_PROCESS_ID"])
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -228,7 +228,8 @@ class MarigoldTrainerBase:
         logger.info("Start training")
         if self.in_evaluation:
             logger.info("Resumed during validation: re-running validation.")
-            self.validate()
+            if jax.process_index() == 0:  # same gating as the periodic path
+                self.validate()
             self.in_evaluation = False
             self.save_checkpoint("latest", save_train_state=True)
 
@@ -261,6 +262,7 @@ class MarigoldTrainerBase:
                     # of the global batch (mesh.py:global_batch_from_local)
                     batch_dev = global_batch_from_local(self.mesh, batch_dev)
                 key = self._step_key()
+                self._multihost_compile_barrier(batch_dev, key)
                 self.state, step_metrics = self.train_step(
                     self.state,
                     self.core.vae_params,
@@ -338,6 +340,43 @@ class MarigoldTrainerBase:
         # through without retracing; clearing forced a full (minutes-long)
         # recompile of all inference programs at every validation period.
 
+    def _multihost_compile_barrier(self, batch_dev, key) -> None:
+        """Multi-host only, once per process: AOT-compile the train step
+        (purely local work), then rendezvous on the coordination service
+        before the first dispatch. Without this, the first collective's
+        Gloo/NCCL context init — whose rendezvous deadline is ~30 s —
+        races the peers' train-step compiles: a loaded host can skew two
+        processes' compile completions by more than the deadline and kill
+        the job (observed on the 2-process CPU-mesh test). The
+        coordination-service barrier has a long explicit timeout, so
+        arbitrary compile skew is absorbed before any collective fires."""
+        if getattr(self, "_mh_compile_barrier_done", False):
+            return
+        self._mh_compile_barrier_done = True
+        if jax.process_count() <= 1:
+            return
+        self.train_step.lower(
+            self.state,
+            self.core.vae_params,
+            self.core.empty_text_embed,
+            batch_dev,
+            key,
+        ).compile()
+        try:
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            if client is not None:
+                client.wait_at_barrier(
+                    "marigold_train_step_compiled", timeout_in_ms=3_600_000
+                )
+        except Exception:
+            logger.warning(
+                "coordination-service barrier unavailable; proceeding "
+                "(first-collective init may race long compiles)",
+                exc_info=True,
+            )
+
     def _train_step_callback(self):
         """Reference _train_step_callback (marigold_depth_trainer.py:423-451)."""
         if self.backup_period > 0 and 0 == self.effective_iter % self.backup_period:
@@ -348,7 +387,15 @@ class MarigoldTrainerBase:
             self.in_evaluation = True
             self.save_checkpoint("latest", save_train_state=True)
             _is_latest_saved = True
-            self.validate()
+            # multi-host: validation runs on process 0 only — every
+            # process running the identical pass duplicates the work
+            # N-fold for the same result; the save_checkpoint calls
+            # around it stay collective (opt-state gather), and the
+            # "best" save inside validate() has no collective
+            # (save_train_state=False), so non-zero processes simply
+            # block on the next gather until process 0 finishes
+            if jax.process_index() == 0:
+                self.validate()
             self.in_evaluation = False
             self.save_checkpoint("latest", save_train_state=True)
 
@@ -359,7 +406,11 @@ class MarigoldTrainerBase:
         ):
             self.save_checkpoint("latest", save_train_state=True)
 
-        if self.vis_period > 0 and 0 == self.effective_iter % self.vis_period:
+        if (self.vis_period > 0
+                and 0 == self.effective_iter % self.vis_period
+                and jax.process_index() == 0):
+            # process 0 only: N processes writing the same visualization
+            # files concurrently can interleave/corrupt them
             self.visualize()
 
     def _get_backup_ckpt_name(self):

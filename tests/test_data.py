@@ -386,3 +386,45 @@ def test_dataloader_num_workers_matches_inline(tmp_path, rng):
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(ba["x"], bb["x"])
         np.testing.assert_array_equal(ba["idx"], bb["idx"])
+
+
+def test_dataloader_process_sharding():
+    """Multi-host data sharding: processes constructing the loader with
+    the same seed take strided, DISJOINT slices of one global batch
+    stream (without this, every host drew identical samples and
+    data-parallel gradients were N duplicates). Truncation keeps the
+    per-process step count equal; skip counts local batches."""
+    from marigold_tpu.data.loader import DataLoader
+
+    class SquareDataset:
+        def __len__(self):
+            return 14  # 7 global batches of 2 -> 3 per shard (1 dropped)
+
+        def __getitem__(self, i):
+            return {"idx": i}
+
+    ds = SquareDataset()
+    full = [b["idx"].tolist()
+            for b in DataLoader(ds, batch_size=2, shuffle=True, seed=9)]
+    s0 = DataLoader(ds, batch_size=2, shuffle=True, seed=9,
+                    shard_count=2, shard_index=0)
+    s1 = DataLoader(ds, batch_size=2, shuffle=True, seed=9,
+                    shard_count=2, shard_index=1)
+    got0 = [b["idx"].tolist() for b in s0]
+    got1 = [b["idx"].tolist() for b in s1]
+    assert len(s0) == len(s1) == 3
+    assert got0 == full[0:6:2]
+    assert got1 == full[1:6:2]
+    # disjoint coverage of the stream's first 6 batches
+    flat = [i for b in got0 + got1 for i in b]
+    assert len(set(flat)) == len(flat)
+    # resume: skipping 1 LOCAL batch drops exactly that shard's first
+    # (fresh loader: re-iterating an existing one advances to epoch 2)
+    s1r = DataLoader(ds, batch_size=2, shuffle=True, seed=9,
+                     shard_count=2, shard_index=1)
+    got1b = [b["idx"].tolist() for b in s1r.skip_first_batches(1)]
+    assert got1b == got1[1:]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shard_index"):
+        DataLoader(ds, batch_size=2, shard_count=2, shard_index=2)
