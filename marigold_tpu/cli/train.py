@@ -372,12 +372,12 @@ def main(argv=None):
             logging.warning("--shard_optimizer has no effect without a "
                             ">1-device --data_parallel mesh")
         else:
-            from omegaconf import OmegaConf
-
-            OmegaConf.set_struct(cfg, False)
-            if cfg.get("optimizer") is None:
-                cfg.optimizer = {}
-            cfg.optimizer.shard_states = True
+            # plain dict mutation: Config.__getattr__ wraps nested plain
+            # dicts in a fresh object, so attribute writes on cfg.optimizer
+            # would not persist into cfg
+            opt = dict(cfg.get("optimizer") or {})
+            opt["shard_states"] = True
+            cfg["optimizer"] = opt
 
     trainer_cls = get_trainer_cls(cfg.trainer.name)
     trainer = trainer_cls(

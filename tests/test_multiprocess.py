@@ -111,6 +111,7 @@ def test_two_process_mesh_and_global_batch():
 TRAIN_WORKER = r"""
 import os, sys
 pid = int(sys.argv[1]); port = sys.argv[2]; tmp = sys.argv[3]
+extra = sys.argv[4:]
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
@@ -125,18 +126,26 @@ rc = main([
     "--base_ckpt_dir", os.path.join(tmp, "ckpt_base"),
     "--no_val", "--no_wandb",
     "--multihost", "--data_parallel", "--add_datetime_prefix",
+    *extra,
 ])
 assert rc == 0, rc
 print(f"TRAINPROC_OK {pid}", flush=True)
 """
 
 
-def test_two_process_train_cli(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("extra_flags", [(), ("--shard_optimizer",)],
+                         ids=["dp", "dp+zero1"])
+def test_two_process_train_cli(tmp_path, extra_flags):
     """The full `cli/train --multihost --data_parallel` path with TWO OS
     processes (2 CPU devices each -> one global 4-device mesh): broadcast
     datetime run-name token, marker-gated run-dir join, process-sharded
     disjoint batch streams, global batch assembly, and the
-    process-allgather checkpoint save with only process 0 writing."""
+    process-allgather checkpoint save with only process 0 writing. The
+    zero1 variant shards Adam state over the global mesh, so the save
+    gathers shards that live on BOTH processes."""
     import json
 
     import numpy as np
@@ -221,7 +230,7 @@ def test_two_process_train_cli(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", TRAIN_WORKER, str(pid), str(port),
-             str(tmp_path)],
+             str(tmp_path), *extra_flags],
             env=env, stdout=logs[pid], stderr=subprocess.STDOUT,
             text=True, cwd=REPO,
         )
