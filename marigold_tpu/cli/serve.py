@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Seconds an unreadable file (e.g. an upload in "
                         "progress) keeps being retried before it is "
                         "skipped for good (default max(30, 4*batch_wait))")
+    p.add_argument("--http_port", type=int, default=None,
+                   help="Also serve an HTTP API on this port: POST an "
+                        "image to /v1/predict (?format=npy|png) and the "
+                        "prediction comes back in the response; requests "
+                        "join the same shape-bucketed device batches as "
+                        "watched files. GET /healthz reports stats. "
+                        "Incompatible with --once.")
     p.add_argument("--once", action="store_true",
                    help="Process everything currently present, then exit")
     p.add_argument("--seed", type=int, default=None)
@@ -141,7 +148,123 @@ def save_one(pipe, modality: str, output_dir: str, name: str, out) -> None:
             )
 
 
-def serve(args) -> int:
+class _HttpJob:
+    """One in-flight HTTP request: carries the decoded image into the
+    batching loop and the serialized prediction back to the handler."""
+
+    __slots__ = ("im", "fmt", "event", "result", "content_type", "error")
+
+    def __init__(self, im, fmt: str):
+        import threading
+
+        self.im = im
+        self.fmt = fmt
+        self.event = threading.Event()
+        self.result: Optional[bytes] = None
+        self.content_type = "application/octet-stream"
+        self.error: Optional[str] = None
+
+
+def _serialize_http(job: "_HttpJob", modality: str, out) -> None:
+    """Fill job.result from a pipeline Output per the requested format."""
+    import io
+
+    from PIL import Image
+
+    from marigold_tpu.pipelines import image_util
+
+    buf = io.BytesIO()
+    if job.fmt == "png":
+        if modality == "depth":
+            Image.fromarray(image_util.float2int(out.depth_np, 16)).save(
+                buf, format="PNG"
+            )
+        elif modality == "normals":
+            out.normals_img.save(buf, format="PNG")
+        else:  # iid: first target's visualization
+            out[0].image.save(buf, format="PNG")
+        job.content_type = "image/png"
+    else:  # npy / npz
+        if modality == "depth":
+            np.save(buf, out.depth_np)
+        elif modality == "normals":
+            np.save(buf, out.normals_np)
+        else:
+            np.savez(buf, **{e.name: e.array for e in out})
+            job.content_type = "application/octet-stream"
+    job.result = buf.getvalue()
+
+
+def _start_http_server(port: int, inbox, stats: dict, timeout_s: float):
+    """stdlib ThreadingHTTPServer feeding the serve loop's inbox. Each
+    handler thread blocks on its job's event until the batch containing
+    it completes (device readback releases the GIL, so handler threads
+    cost nothing while waiting)."""
+    import io
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route through logging, not stderr
+            logging.debug("http: " + fmt, *a)
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.split("?")[0] != "/healthz":
+                self._reply(404, b"not found", "text/plain")
+                return
+            body = _json.dumps(dict(stats, ok=True)).encode()
+            self._reply(200, body, "application/json")
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/v1/predict":
+                self._reply(404, b"not found", "text/plain")
+                return
+            fmt = "npy"
+            for part in query.split("&"):
+                if part.startswith("format="):
+                    fmt = part.split("=", 1)[1]
+            if fmt not in ("npy", "png"):
+                self._reply(400, b"format must be npy or png", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                if n <= 0:
+                    raise ValueError("empty body")
+                im = Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB")
+            except Exception as e:
+                self._reply(400, f"bad image: {e}".encode(), "text/plain")
+                return
+            job = _HttpJob(im, fmt)
+            inbox.append(job)
+            if not job.event.wait(timeout=timeout_s):
+                self._reply(504, b"prediction timed out", "text/plain")
+                return
+            if job.error is not None:
+                self._reply(500, job.error.encode(), "text/plain")
+                return
+            self._reply(200, job.result, job.content_type)
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server.daemon_threads = True
+    import threading
+
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def serve(args, stop_event=None) -> int:
+    """Run the daemon. `stop_event` (threading.Event) is a programmatic
+    shutdown hook for embedding/tests; the CLI runs until SIGINT."""
     from PIL import Image
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -178,24 +301,51 @@ def serve(args) -> int:
         )
 
     def run_batch(group):
-        paths = [g[0] for g in group]
+        srcs = [g[0] for g in group]
         images = [g[1] for g in group]
         try:
             outs = pipe.batch_call(images, **call_kwargs)
-            for path, out in zip(paths, outs):
-                stem = os.path.splitext(os.path.basename(path))[0]
-                save_one(pipe, args.modality, args.output_dir, stem, out)
-                logging.info(f"done: {stem}")
-            return len(paths)
+            for src, out in zip(srcs, outs):
+                if isinstance(src, _HttpJob):
+                    _serialize_http(src, args.modality, out)
+                    src.event.set()
+                    logging.info("done: <http request>")
+                else:
+                    stem = os.path.splitext(os.path.basename(src))[0]
+                    save_one(pipe, args.modality, args.output_dir, stem, out)
+                    logging.info(f"done: {stem}")
+            return len(srcs)
         except Exception as e:
-            logging.exception(f"batch failed: {paths}")
+            logging.exception(f"batch failed: {srcs}")
             failures.append(e)
+            for src in srcs:
+                if isinstance(src, _HttpJob):
+                    # unblock the waiting handler instead of letting it
+                    # run into its 504 timeout
+                    src.error = f"prediction failed: {e}"
+                    src.event.set()
             return 0
+
+    http_server = None
+    http_inbox: collections.deque = collections.deque()
+    stats = {"served": 0, "pending": 0}
+    if args.http_port is not None:
+        if args.once:
+            raise SystemExit("--http_port requires watch mode (no --once)")
+        http_server = _start_http_server(
+            args.http_port, http_inbox, stats,
+            timeout_s=max(600.0, 10 * args.batch_wait),
+        )
+        logging.info(f"HTTP API on :{args.http_port} "
+                     "(POST /v1/predict, GET /healthz)")
 
     pool = ThreadPoolExecutor(max_workers=max(1, args.max_in_flight))
     futures: list = []
     try:
         while True:
+            while http_inbox:
+                job = http_inbox.popleft()
+                buckets[job.im.size].append((job, job.im, time.time()))
             for path in _scan_new(args.watch_dir, seen):
                 t_scan = time.monotonic()
                 rf = read_failures.get(path)
@@ -248,6 +398,10 @@ def serve(args) -> int:
             for f in done:
                 n_done += f.result()
                 futures.remove(f)
+            stats["served"] = n_done
+            stats["pending"] = (
+                sum(len(dq) for dq in buckets.values()) + len(futures)
+            )
 
             # --once drains pending read-retries too: a mid-copy file that
             # failed its first open must get its retry window (it would
@@ -255,9 +409,18 @@ def serve(args) -> int:
             if (args.once and not buckets and not futures
                     and not dispatched and not read_failures):
                 break
+            if stop_event is not None and stop_event.is_set():
+                break
             if not dispatched:
-                time.sleep(args.poll_interval)
+                # with the HTTP API up, poll the inbox at request latency
+                # granularity, not the directory-scan cadence
+                time.sleep(
+                    min(args.poll_interval, 0.02) if http_server is not None
+                    else args.poll_interval
+                )
     finally:
+        if http_server is not None:
+            http_server.shutdown()
         for f in futures:
             n_done += f.result()
         pool.shutdown(wait=True)

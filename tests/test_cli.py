@@ -343,3 +343,107 @@ def test_wait_for_dir_rejects_stale_run_dir(tmp_path):
 
     (stale / _RUN_MARKER).write_text("tok-a")
     _wait_for_dir(str(stale), "tok-a", timeout_s=1.0)  # returns
+
+
+def test_serve_http_api(depth_ckpt, tmp_path, rng):
+    """The HTTP serving API: POST /v1/predict joins the same device
+    batches as watched files and returns the prediction in the response;
+    /healthz reports stats; malformed requests get 4xx."""
+    import io
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from marigold_tpu.cli.serve import build_parser, serve
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    port = _serve_free_port()
+    args = build_parser().parse_args([
+        "--checkpoint", depth_ckpt,
+        "--modality", "depth",
+        "--watch_dir", str(watch),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_images", "1",
+        "--ensemble_size", "1",
+        "--denoise_steps", "1",
+        "--processing_res", "32",
+        "--poll_interval", "0.1",
+        "--batch_wait", "0.2",
+        "--http_port", str(port),
+        "--color_map", "None",
+    ])
+    stop = threading.Event()
+    t = threading.Thread(target=serve, args=(args, stop), daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # wait for the server socket
+        deadline = 60
+        import time as _time
+
+        for _ in range(600):
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5) as r:
+                    assert r.status == 200
+                    break
+            except Exception:
+                _time.sleep(0.1)
+        else:
+            raise AssertionError("http server never came up")
+
+        arr = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        body = buf.getvalue()
+
+        req = urllib.request.Request(
+            f"{base}/v1/predict?format=npy", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            pred = np.load(io.BytesIO(r.read()))
+        assert pred.shape == (40, 48)
+        assert np.isfinite(pred).all()
+        assert 0.0 <= pred.min() and pred.max() <= 1.0
+
+        req = urllib.request.Request(
+            f"{base}/v1/predict?format=png", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            png = Image.open(io.BytesIO(r.read()))
+            assert png.size == (48, 40)
+
+        # malformed body -> 400, wrong path -> 404
+        bad = urllib.request.Request(
+            f"{base}/v1/predict", data=b"not an image", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            import json as _json
+
+            h = _json.loads(r.read())
+            assert h["ok"] and h["served"] >= 2
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not t.is_alive()
+
+
+def _serve_free_port():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
