@@ -301,6 +301,7 @@ def serve(args, stop_event=None) -> int:
         )
 
     def run_batch(group):
+        stats["batches"] = stats.get("batches", 0) + 1
         srcs = [g[0] for g in group]
         images = [g[1] for g in group]
         try:
@@ -328,7 +329,7 @@ def serve(args, stop_event=None) -> int:
 
     http_server = None
     http_inbox: collections.deque = collections.deque()
-    stats = {"served": 0, "pending": 0}
+    stats = {"served": 0, "pending": 0, "batches": 0}
     if args.http_port is not None:
         if args.once:
             raise SystemExit("--http_port requires watch mode (no --once)")

@@ -447,3 +447,84 @@ def _serve_free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+def test_serve_http_concurrent_requests_batch(depth_ckpt, tmp_path, rng):
+    """Two same-shape HTTP requests arriving together must be grouped
+    into ONE device batch (batch_images=2) and both get answers."""
+    import io
+    import threading
+    import urllib.request
+
+    from marigold_tpu.cli.serve import build_parser, serve
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    port = _serve_free_port()
+    args = build_parser().parse_args([
+        "--checkpoint", depth_ckpt,
+        "--modality", "depth",
+        "--watch_dir", str(watch),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_images", "2",
+        "--ensemble_size", "1",
+        "--denoise_steps", "1",
+        "--processing_res", "32",
+        "--poll_interval", "0.1",
+        "--batch_wait", "30",  # a lone under-full request would sit out
+        "--http_port", str(port),  # 30s; grouped ones dispatch immediately
+        "--color_map", "None",
+    ])
+    stop = threading.Event()
+    t = threading.Thread(target=serve, args=(args, stop), daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        import time as _time
+
+        for _ in range(600):
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5):
+                    break
+            except Exception:
+                _time.sleep(0.1)
+        else:
+            raise AssertionError("http server never came up")
+
+        def one(i, out):
+            arr = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            req = urllib.request.Request(
+                f"{base}/v1/predict", data=buf.getvalue(), method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=180) as r:
+                out[i] = np.load(io.BytesIO(r.read()))
+
+        results = {}
+        threads = [
+            threading.Thread(target=one, args=(i, results)) for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+        assert set(results) == {0, 1}
+        for pred in results.values():
+            assert pred.shape == (40, 48) and np.isfinite(pred).all()
+        # grouped: one dispatched device batch served both requests
+        # (stats settle in the main loop shortly after the responses)
+        import json as _json
+
+        h = {}
+        for _ in range(100):
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                h = _json.loads(r.read())
+            if h.get("served") == 2:
+                break
+            _time.sleep(0.1)
+        assert h["served"] == 2, h
+        assert h["batches"] == 1, h
+    finally:
+        stop.set()
+        t.join(timeout=60)
