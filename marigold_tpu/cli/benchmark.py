@@ -97,6 +97,10 @@ def build_parser():
                         "different settings would be silently reused).")
     p.add_argument("--old_protocol", action="store_true",
                    help="CVPR v1-0 depth protocol (50 steps).")
+    p.add_argument("--serving_batch", type=int, default=1,
+                   help="group same-shape consecutive samples into fused "
+                        "N-image device batches during inference "
+                        "(throughput mode; passed through to cli.infer)")
     p.add_argument("--limit", type=int, default=0,
                    help="Only process the first N samples per dataset "
                         "(0 = all). For protocol smoke tests.")
@@ -158,6 +162,7 @@ def main(argv=None):
                 "--ensemble_size", str(proto["ensemble_size"]),
                 "--processing_res", str(proto["processing_res"]),
                 "--seed", str(proto["seed"]),
+                "--serving_batch", str(args.serving_batch),
             ] + limit + overwrite)
             if rc != 0:
                 return rc

@@ -103,11 +103,11 @@ def main(argv=None):
         show_progress_bar=False,
     )
 
-    # batched-serving fast path (depth/normals): group same-shape
+    # batched-serving fast path (all modalities): group same-shape
     # consecutive samples into one fused program
-    if args.modality in ("depth", "normals") and args.serving_batch > 1:
+    if args.serving_batch > 1:
         t0 = time.time()
-        pending = []  # (rgb_int, save_to)
+        pending = []  # (img, save_meta): save path, or stem for iid
 
         def flush():
             if not pending:
@@ -116,30 +116,58 @@ def main(argv=None):
             outs = pipe.batch_call(imgs, **{
                 k: v for k, v in common.items() if k != "show_progress_bar"
             })
-            for (_, save_to), out in zip(pending, outs):
-                arr = (out.depth_np if args.modality == "depth"
-                       else out.normals_np)
-                np.save(save_to, arr)
+            for (_, meta), out in zip(pending, outs):
+                if args.modality == "depth":
+                    np.save(meta, out.depth_np)
+                elif args.modality == "normals":
+                    np.save(meta, out.normals_np)
+                else:
+                    for entry in out:
+                        np.save(
+                            os.path.join(
+                                out_npy, f"{meta}_{entry.name}_pred.npy"
+                            ),
+                            entry.array,
+                        )
             pending.clear()
 
         for i in range(len(dataset)):
             sample = dataset[i]
-            rgb_int = np.asarray(sample["rgb_int"], np.uint8)
             rel = sample["rgb_relative_path"]
             base = os.path.basename(rel)
             scene = os.path.dirname(rel).replace(os.sep, "_")
-            if args.modality == "depth":
-                pred_name = get_pred_name(base, dataset.name_mode, suffix=".npy")
+            if args.modality == "iid":
+                # iid RGB_ONLY samples carry float [0,1] "rgb" (possibly
+                # HDR-derived), and fan out one file per target
+                img = np.asarray(sample["rgb"], np.float32)
+                stem = (
+                    (scene + "_" if scene else "")
+                    + os.path.splitext(base)[0]
+                )
+                if not args.overwrite and all(
+                    os.path.exists(
+                        os.path.join(out_npy, f"{stem}_{t}_pred.npy")
+                    )
+                    for t in pipe.target_names
+                ):
+                    continue
+                meta = stem
             else:
-                pred_name = os.path.splitext(base)[0] + "_pred.npy"
-            save_to = os.path.join(
-                out_npy, (scene + "_" if scene else "") + pred_name
-            )
-            if os.path.exists(save_to) and not args.overwrite:
-                continue
-            if pending and pending[0][0].shape != rgb_int.shape:
+                img = np.asarray(sample["rgb_int"], np.uint8)
+                if args.modality == "depth":
+                    pred_name = get_pred_name(
+                        base, dataset.name_mode, suffix=".npy"
+                    )
+                else:
+                    pred_name = os.path.splitext(base)[0] + "_pred.npy"
+                meta = os.path.join(
+                    out_npy, (scene + "_" if scene else "") + pred_name
+                )
+                if os.path.exists(meta) and not args.overwrite:
+                    continue
+            if pending and pending[0][0].shape != img.shape:
                 flush()
-            pending.append((rgb_int, save_to))
+            pending.append((img, meta))
             if len(pending) >= args.serving_batch:
                 flush()
             if (i + 1) % 50 == 0 or i == len(dataset) - 1:

@@ -310,3 +310,43 @@ def test_benchmark_all_depth(tmp_path, rng):
         md = out_dir / "depth" / bench / "eval_metric"
         assert (md / "eval_metrics-least_square.txt").exists(), bench
         assert (md / "per_sample_metrics.csv").exists(), bench
+
+
+def test_benchmark_iid_serving_batch(tmp_path, rng, monkeypatch):
+    """--serving_batch routes IID protocol inference through the batched
+    multi-image program (the iid branch of cli/infer's fast path: float
+    [0,1] inputs, per-target fan-out) and the eval chain still runs."""
+    from marigold_tpu.cli.benchmark import PROTOCOLS, main
+
+    monkeypatch.delenv("LPIPS_WEIGHTS", raising=False)
+    cfg_path = PROTOCOLS["iid"]["appearance_interiorverse"][0]
+    ds_dir, lines = _split_lines(cfg_path, 2)
+    base = tmp_path / "base_data"
+    build_iid_interiorverse(str(base / ds_dir), lines, rng)
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ckpt"), mode="iid")
+    out_dir = tmp_path / "eval_out"
+
+    rc = main([
+        "--modality", "iid",
+        "--benchmark", "appearance_interiorverse",
+        "--checkpoint", ckpt,
+        "--base_data_dir", str(base),
+        "--output_dir", str(out_dir),
+        "--ensemble_size", "1",
+        "--denoise_steps", "1",
+        "--processing_res", "64",
+        "--serving_batch", "2",
+        "--limit", "2",
+    ])
+    assert rc == 0
+    pred_dir = (out_dir / "iid" / "appearance_interiorverse" / "prediction"
+                / "iid_npy")
+    preds = sorted(os.listdir(pred_dir))
+    assert len(preds) == 2 * 2  # 2 samples x (albedo, material)
+    for p in preds:
+        arr = np.load(pred_dir / p)
+        assert np.isfinite(arr).all()
+        assert arr.ndim == 3 and arr.shape[0] == 3  # CHW per-target
+    txt = (out_dir / "iid" / "appearance_interiorverse" / "eval_metric"
+           / "eval_metrics-least_square.txt")
+    assert txt.exists()
