@@ -430,11 +430,17 @@ def test_serve_http_api(depth_ckpt, tmp_path, rng):
         except urllib.error.HTTPError as e:
             assert e.code == 404
 
-        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
-            import json as _json
+        # stats settle in the main loop shortly after the responses: poll
+        import json as _json
 
-            h = _json.loads(r.read())
-            assert h["ok"] and h["served"] >= 2
+        h = {}
+        for _ in range(100):
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                h = _json.loads(r.read())
+            if h.get("served", 0) >= 2:
+                break
+            _time.sleep(0.1)
+        assert h["ok"] and h["served"] >= 2, h
     finally:
         stop.set()
         t.join(timeout=60)
