@@ -34,9 +34,9 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=0)
     parser.add_argument("--serving_batch", type=int, default=1,
-                        help="(depth/normals) process N same-shape images "
-                             "per fused program for throughput (batched "
-                             "serving).")
+                        help="process N same-shape images per fused "
+                             "program for throughput (batched serving; "
+                             "all modalities).")
     parser.add_argument("--limit", type=int, default=0,
                         help="Only process the first N samples (0 = all). "
                              "For smoke-testing the real protocol configs "

@@ -181,8 +181,9 @@ def _serialize_http(job: "_HttpJob", modality: str, out) -> None:
             )
         elif modality == "normals":
             out.normals_img.save(buf, format="PNG")
-        else:  # iid: first target's visualization
-            out[0].image.save(buf, format="PNG")
+        else:  # iid: first target's visualization (iteration order is
+            # target_names order; __getitem__ keys by name, not index)
+            next(iter(out)).image.save(buf, format="PNG")
         job.content_type = "image/png"
     else:  # npy / npz
         if modality == "depth":
@@ -301,7 +302,6 @@ def serve(args, stop_event=None) -> int:
         )
 
     def run_batch(group):
-        stats["batches"] = stats.get("batches", 0) + 1
         srcs = [g[0] for g in group]
         images = [g[1] for g in group]
         try:
@@ -342,12 +342,21 @@ def serve(args, stop_event=None) -> int:
 
     pool = ThreadPoolExecutor(max_workers=max(1, args.max_in_flight))
     futures: list = []
+    last_scan = float("-inf")
     try:
         while True:
             while http_inbox:
                 job = http_inbox.popleft()
                 buckets[job.im.size].append((job, job.im, time.time()))
-            for path in _scan_new(args.watch_dir, seen):
+            # the directory scan keeps its --poll_interval cadence even
+            # when the HTTP inbox is polled every 20 ms (listdir+sort of
+            # a big or networked watch dir 50x/s would burn IO for nothing)
+            if time.monotonic() - last_scan < args.poll_interval:
+                new_paths = []
+            else:
+                last_scan = time.monotonic()
+                new_paths = _scan_new(args.watch_dir, seen)
+            for path in new_paths:
                 t_scan = time.monotonic()
                 rf = read_failures.get(path)
                 if rf is not None and t_scan < rf[2]:
@@ -386,11 +395,16 @@ def serve(args, stop_event=None) -> int:
                         run_batch,
                         [dq.popleft() for _ in range(args.batch_images)],
                     ))
+                    # counted here (single-threaded loop), not in
+                    # run_batch: concurrent pool workers would lose
+                    # read-modify-write increments
+                    stats["batches"] += 1
                     dispatched = True
                 if dq and (args.once or now - dq[0][2] >= args.batch_wait):
                     futures.append(pool.submit(
                         run_batch, [dq.popleft() for _ in range(len(dq))]
                     ))
+                    stats["batches"] += 1
                     dispatched = True
                 if not dq:
                     del buckets[shape]

@@ -230,6 +230,10 @@ class MarigoldTrainerBase:
             logger.info("Resumed during validation: re-running validation.")
             if jax.process_index() == 0:  # same gating as the periodic path
                 self.validate()
+            # non-main processes would otherwise hit the allgather in the
+            # save below — the job's FIRST collective on this resume path
+            # — minutes before process 0 finishes validating
+            self._coord_barrier("marigold_resume_validation_done")
             self.in_evaluation = False
             self.save_checkpoint("latest", save_train_state=True)
 
@@ -362,19 +366,31 @@ class MarigoldTrainerBase:
             batch_dev,
             key,
         ).compile()
+        self._coord_barrier("marigold_train_step_compiled")
+
+    @staticmethod
+    def _coord_barrier(name: str, timeout_ms: int = 7_200_000) -> None:
+        """Rendezvous all processes on the coordination service (long
+        explicit timeout, no device collective). Used wherever processes
+        can reach their next COLLECTIVE with large wall-clock skew —
+        compile time, or a process-0-only validation pass — because a
+        collective's context init / op has a ~30 s rendezvous deadline
+        that such skew exceeds."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return
         try:
             from jax._src import distributed
 
             client = distributed.global_state.client
             if client is not None:
-                client.wait_at_barrier(
-                    "marigold_train_step_compiled", timeout_in_ms=3_600_000
-                )
+                client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
         except Exception:
             logger.warning(
-                "coordination-service barrier unavailable; proceeding "
-                "(first-collective init may race long compiles)",
-                exc_info=True,
+                "coordination-service barrier %s unavailable; proceeding "
+                "(next collective may race long-running peers)",
+                name, exc_info=True,
             )
 
     def _train_step_callback(self):
@@ -390,12 +406,15 @@ class MarigoldTrainerBase:
             # multi-host: validation runs on process 0 only — every
             # process running the identical pass duplicates the work
             # N-fold for the same result; the save_checkpoint calls
-            # around it stay collective (opt-state gather), and the
-            # "best" save inside validate() has no collective
-            # (save_train_state=False), so non-zero processes simply
-            # block on the next gather until process 0 finishes
+            # around it stay collective (opt-state gather), the "best"
+            # save inside validate() has no collective
+            # (save_train_state=False), and the coordination barrier
+            # below absorbs the skew before the next collective
             if jax.process_index() == 0:
                 self.validate()
+            # absorb the multi-minute validation skew before the next
+            # collective (the allgather in the save below)
+            self._coord_barrier(f"marigold_val_done_{self.effective_iter}")
             self.in_evaluation = False
             self.save_checkpoint("latest", save_train_state=True)
 

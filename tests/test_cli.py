@@ -534,3 +534,77 @@ def test_serve_http_concurrent_requests_batch(depth_ckpt, tmp_path, rng):
     finally:
         stop.set()
         t.join(timeout=60)
+
+
+def test_serve_http_api_iid(tmp_path, rng):
+    """HTTP serving for the IID modality: npz (all targets) and PNG
+    (first target's visualization) response formats. Regression: the PNG
+    path indexed MarigoldIIDOutput by integer, which raises KeyError and
+    poisoned the whole batch."""
+    import io
+    import threading
+    import urllib.request
+
+    from fixtures import make_tiny_checkpoint
+    from marigold_tpu.cli.serve import build_parser, serve
+
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ck"), mode="iid")
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    port = _serve_free_port()
+    args = build_parser().parse_args([
+        "--checkpoint", ckpt,
+        "--modality", "iid",
+        "--watch_dir", str(watch),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_images", "1",
+        "--ensemble_size", "1",
+        "--denoise_steps", "1",
+        "--processing_res", "32",
+        "--poll_interval", "0.1",
+        "--batch_wait", "0.2",
+        "--http_port", str(port),
+        "--full_precision",
+    ])
+    stop = threading.Event()
+    t = threading.Thread(target=serve, args=(args, stop), daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        import time as _time
+
+        for _ in range(600):
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5):
+                    break
+            except Exception:
+                _time.sleep(0.1)
+        else:
+            raise AssertionError("http server never came up")
+
+        arr = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        body = buf.getvalue()
+
+        req = urllib.request.Request(
+            f"{base}/v1/predict?format=npy", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            assert r.status == 200
+            z = np.load(io.BytesIO(r.read()))
+            names = sorted(z.files)
+        assert names  # one array per target
+        for n in names:
+            assert np.isfinite(z[n]).all()
+
+        req = urllib.request.Request(
+            f"{base}/v1/predict?format=png", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            assert r.status == 200
+            png = Image.open(io.BytesIO(r.read()))
+            assert png.size == (48, 40)
+    finally:
+        stop.set()
+        t.join(timeout=60)

@@ -124,7 +124,7 @@ rc = main([
     "--output_dir", os.path.join(tmp, "runs"),
     "--base_data_dir", os.path.join(tmp, "data"),
     "--base_ckpt_dir", os.path.join(tmp, "ckpt_base"),
-    "--no_val", "--no_wandb",
+    "--no_wandb",
     "--multihost", "--data_parallel", "--add_datetime_prefix",
     *extra,
 ])
@@ -136,16 +136,23 @@ print(f"TRAINPROC_OK {pid}", flush=True)
 import pytest
 
 
-@pytest.mark.parametrize("extra_flags", [(), ("--shard_optimizer",)],
-                         ids=["dp", "dp+zero1"])
-def test_two_process_train_cli(tmp_path, extra_flags):
+@pytest.mark.parametrize(
+    "extra_flags,with_val",
+    [(("--no_val",), False), (("--shard_optimizer",), True)],
+    ids=["dp", "dp+zero1+val"],
+)
+def test_two_process_train_cli(tmp_path, extra_flags, with_val):
     """The full `cli/train --multihost --data_parallel` path with TWO OS
     processes (2 CPU devices each -> one global 4-device mesh): broadcast
     datetime run-name token, marker-gated run-dir join, process-sharded
     disjoint batch streams, global batch assembly, and the
     process-allgather checkpoint save with only process 0 writing. The
-    zero1 variant shards Adam state over the global mesh, so the save
-    gathers shards that live on BOTH processes."""
+    zero1 variant shards Adam state over the global mesh (the save
+    gathers shards living on BOTH processes) AND runs periodic
+    validation — which executes on process 0 only, with the
+    coordination barrier absorbing the skew before the next collective
+    save (non-zero processes reaching that allgather minutes early was
+    a real deadline-exceeded failure mode)."""
     import json
 
     import numpy as np
@@ -168,6 +175,8 @@ def test_two_process_train_cli(tmp_path, extra_flags):
         Image.fromarray(depth_mm).save(root / f"filled_{i:05d}.png")
         names.append(f"rgb_{i:05d}.png depth_{i:05d}.png filled_{i:05d}.png")
     (tmp_path / "split.txt").write_text("\n".join(names))
+    # small validation split (validation runs batch_size=1 per sample)
+    (tmp_path / "val_split.txt").write_text("\n".join(names[:2]))
 
     cfg = {
         "pipeline": {"name": "MarigoldDepthPipeline", "kwargs": {
@@ -185,7 +194,8 @@ def test_two_process_train_cli(tmp_path, extra_flags):
                        "max_train_batch_size": 2, "seed": 2024},
         "trainer": {"name": "MarigoldDepthTrainer", "init_seed": 2024,
                     "save_period": 2, "backup_period": 0,
-                    "validation_period": 0, "visualization_period": 0},
+                    "validation_period": 2 if with_val else 0,
+                    "visualization_period": 0},
         "gt_depth_type": "depth_raw_norm",
         "gt_mask_type": "valid_mask_raw",
         "max_epoch": 100, "max_iter": 2,
@@ -207,7 +217,11 @@ def test_two_process_train_cli(tmp_path, extra_flags):
                 {"name": "nyu_depth", "disp_name": "tiny_train",
                  "dir": "nyu", "filenames": str(tmp_path / "split.txt"),
                  "eigen_valid_mask": False}]},
-            "val": [], "vis": [],
+            "val": ([{"name": "nyu_depth", "disp_name": "tiny_val",
+                      "dir": "nyu",
+                      "filenames": str(tmp_path / "val_split.txt"),
+                      "eigen_valid_mask": False}] if with_val else []),
+            "vis": [],
         },
         "logging": {"console_level": 30},
     }
@@ -258,5 +272,9 @@ def test_two_process_train_cli(tmp_path, extra_flags):
     assert (run_dir / ".run_marker").exists()
     assert (run_dir / "config.yaml").exists()
     assert (run_dir / "checkpoint" / "latest" / "unet" / "config.json").exists()
+    if with_val:
+        # process 0 validated and saved the best checkpoint; the barrier
+        # kept the non-validating process alive through the skew
+        assert (run_dir / "checkpoint" / "best" / "unet").exists()
     with open(run_dir / "checkpoint" / "latest" / "unet" / "config.json") as f:
         assert json.load(f)["in_channels"] == 8
