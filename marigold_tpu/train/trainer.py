@@ -504,6 +504,9 @@ class MarigoldTrainerBase:
             "in_evaluation": self.in_evaluation,
             "global_seed_sequence": self.global_seed_sequence,
             "step": int(self.state.step),
+            # n_batch_in_epoch counts LOCAL (process-sharded) batches, so
+            # a resume is only coherent at the same process count
+            "process_count": jax.process_count(),
         }
         opt_state = self.state.opt_state if save_train_state else None
         if opt_state is not None and jax.process_count() > 1:
@@ -562,6 +565,19 @@ class MarigoldTrainerBase:
                     self.state = replicate(self.mesh, self.state)
         self._build_train_step()
         if load_trainer_state:
+            saved_nproc = int(trainer_state.get("process_count", 1))
+            if (saved_nproc != jax.process_count()
+                    and int(trainer_state["n_batch_in_epoch"]) > 0):
+                # the saved mid-epoch position counts process-sharded
+                # LOCAL batches (data/loader.py shard stride): replaying
+                # it at a different process count would skip/duplicate
+                # samples silently
+                raise ValueError(
+                    f"checkpoint was saved mid-epoch by {saved_nproc} "
+                    f"process(es) but this run has {jax.process_count()}; "
+                    "resume with the same process count, or restart from "
+                    "an epoch boundary"
+                )
             self.effective_iter = trainer_state["effective_iter"]
             self.epoch = trainer_state["epoch"]
             self.n_batch_in_epoch = trainer_state["n_batch_in_epoch"]

@@ -356,3 +356,34 @@ def test_depth_trainer_zero1_sharded_optimizer(sd2_ckpt, tmp_path, rng):
     assert trainer.effective_iter == 2
     leaves = jax.tree_util.tree_leaves(trainer.state.params)
     assert all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
+
+
+def test_resume_rejects_mid_epoch_process_count_change(sd2_ckpt, tmp_path, rng):
+    """A checkpoint saved mid-epoch stores a LOCAL (process-sharded)
+    batch position; resuming at a different process count must fail fast
+    instead of silently skipping/duplicating samples."""
+    import json
+
+    import pytest
+
+    t1 = _build_trainer(sd2_ckpt, tmp_path / "a", rng, max_iter=2)
+    t1.train()
+    ckpt = tmp_path / "a" / "ckpt" / "latest"
+
+    # forge a mid-epoch multihost save: n_batch_in_epoch > 0, 2 processes
+    state_path = ckpt / "trainer.json"
+    st = json.loads(state_path.read_text())
+    st["n_batch_in_epoch"] = 1
+    st["process_count"] = 2
+    state_path.write_text(json.dumps(st))
+
+    t2 = _build_trainer(sd2_ckpt, tmp_path / "b", rng, max_iter=4)
+    with pytest.raises(ValueError, match="process"):
+        t2.load_checkpoint(str(ckpt))
+
+    # at an epoch boundary the count change is harmless and allowed
+    st["n_batch_in_epoch"] = 0
+    state_path.write_text(json.dumps(st))
+    t3 = _build_trainer(sd2_ckpt, tmp_path / "c", rng, max_iter=4)
+    t3.load_checkpoint(str(ckpt))
+    assert t3.effective_iter == 2
