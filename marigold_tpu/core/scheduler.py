@@ -127,6 +127,15 @@ class DiffusionSchedule:
     beta_schedule: str = dataclasses.field(metadata=dict(static=True))
     beta_start: float = dataclasses.field(metadata=dict(static=True))
     beta_end: float = dataclasses.field(metadata=dict(static=True))
+    # diffusers DDIM clip_sample: clamp pred x0 (and re-derive eps from
+    # the clamped value) each step; SD2/Marigold configs ship False, but
+    # older DDPM-style configs set it and silently ignoring it diverges
+    clip_sample: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    clip_sample_range: float = dataclasses.field(
+        default=1.0, metadata=dict(static=True)
+    )
 
     # ------------------------------------------------------------------ #
     # Construction
@@ -143,6 +152,8 @@ class DiffusionSchedule:
         steps_offset: int = 1,
         rescale_betas_zero_snr: bool = True,
         set_alpha_to_one: bool = False,
+        clip_sample: bool = False,
+        clip_sample_range: float = 1.0,
     ) -> "DiffusionSchedule":
         betas = make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
         if rescale_betas_zero_snr:
@@ -160,6 +171,8 @@ class DiffusionSchedule:
             beta_schedule=beta_schedule,
             beta_start=beta_start,
             beta_end=beta_end,
+            clip_sample=bool(clip_sample),
+            clip_sample_range=float(clip_sample_range),
         )
 
     @classmethod
@@ -176,6 +189,8 @@ class DiffusionSchedule:
             steps_offset=int(cfg.get("steps_offset", 1)),
             rescale_betas_zero_snr=bool(cfg.get("rescale_betas_zero_snr", True)),
             set_alpha_to_one=bool(cfg.get("set_alpha_to_one", False)),
+            clip_sample=bool(cfg.get("clip_sample", False)),
+            clip_sample_range=float(cfg.get("clip_sample_range", 1.0)),
         )
 
     @classmethod
@@ -196,7 +211,8 @@ class DiffusionSchedule:
             "steps_offset": self.steps_offset,
             "rescale_betas_zero_snr": self.rescaled_zero_snr,
             "set_alpha_to_one": bool(self.final_alpha_cumprod == 1.0),
-            "clip_sample": False,
+            "clip_sample": self.clip_sample,
+            "clip_sample_range": self.clip_sample_range,
         }
 
     def save_pretrained(self, path: str) -> None:
@@ -268,6 +284,14 @@ class DiffusionSchedule:
         marigold_depth_pipeline.py:466-468.
         """
         x0, eps = self.pred_x0_and_eps(model_output, t, sample)
+        if self.clip_sample:
+            # diffusers clamps x0 then re-derives eps from the clamped
+            # value (DDIMScheduler.step clipping block)
+            a_t = self._alpha_at(t).astype(jnp.float32)
+            x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
+            eps = (sample.astype(jnp.float32) - jnp.sqrt(a_t) * x0) / (
+                jnp.maximum(jnp.sqrt(1.0 - a_t), 1e-12)
+            )
         a_prev = self._alpha_at(prev_t).astype(jnp.float32)
         prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
         return prev.astype(sample.dtype)

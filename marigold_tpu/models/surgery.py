@@ -43,6 +43,14 @@ def replace_conv_in_out_multimodal(cfg: UNetConfig, params: dict, n_targets: int
     new_cfg, params = replace_conv_in(cfg, params, latent_channels * (n_targets + 1))
 
     w = params["conv_out"]["weight"]  # [kh,kw,in,out]
+    if (latent_channels * n_targets) % cfg.out_channels != 0:
+        # e.g. surgery re-applied to an already-widened UNet: integer
+        # division would silently desync new_cfg.out_channels from the
+        # actual weight shape
+        raise ValueError(
+            f"target channels {latent_channels * n_targets} not a "
+            f"multiple of conv_out channels {cfg.out_channels}"
+        )
     factor = (latent_channels * n_targets) // cfg.out_channels
     w_new = jnp.concatenate([w] * factor, axis=3)
     conv_out = dict(params["conv_out"], weight=w_new)

@@ -19,11 +19,20 @@ from typing import List, Optional
 
 from marigold_tpu.models.clip_text import BOS_TOKEN_ID, EOS_TOKEN_ID
 
+# stdlib-`re` spelling of CLIP's \p{L}/\p{N} pattern: [^\W\d_] matches
+# exactly the unicode letters under re.UNICODE (so 'café' stays one word
+# token, matching the reference tokenizer), \d the unicode digits
 _PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False  # \p classes need regex module; use ASCII-equivalent fallback
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+    re.IGNORECASE | re.UNICODE,
+)
+
+# CJK ideograph ranges BasicTokenizer._is_chinese_char space-separates
+_CJK = re.compile(
+    "([一-鿿㐀-䶿豈-﫿"
+    "\U00020000-\U0002a6df\U0002a700-\U0002b73f"
+    "\U0002b740-\U0002b81f\U0002b820-\U0002ceaf\U0002f800-\U0002fa1f])"
 )
 
 
@@ -68,12 +77,18 @@ class CLIPTokenizer:
         merges: List[tuple] = []
         merges_path = os.path.join(tokenizer_dir, "merges.txt")
         with open(merges_path, encoding="utf-8") as f:
-            for line in f.read().split("\n"):
-                if line.startswith("#") or not line.strip():
-                    continue
-                parts = line.split()
-                if len(parts) == 2:
-                    merges.append(tuple(parts))
+            lines = f.read().split("\n")
+        # only the FIRST line is a header ('#version: ...'); later lines
+        # beginning with '#' are real merges ('#' is a vocab symbol —
+        # transformers' CLIPTokenizer also drops only line 0)
+        if lines and lines[0].startswith("#version"):
+            lines = lines[1:]
+        for line in lines:
+            if not line.strip():
+                continue
+            parts = line.split()
+            if len(parts) == 2:
+                merges.append(tuple(parts))
         # derive special-token ids from the vocab itself (standard CLIP
         # checkpoints map them to 49406/49407, but any vocab works)
         kwargs = {}
@@ -123,6 +138,10 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> List[int]:
         """Text -> ids WITHOUT special tokens."""
+        # transformers' CLIPTokenizer (no-ftfy path) runs BasicTokenizer,
+        # which space-separates CJK ideographs — each becomes its own
+        # word token (with </w>); mirror that for id parity
+        text = _CJK.sub(r" \1 ", text)
         text = re.sub(r"\s+", " ", text.strip()).lower()
         if not text:
             return []

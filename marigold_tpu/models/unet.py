@@ -280,13 +280,25 @@ def _resnet(p, x, temb, groups, eps=1e-5, spatial_axis=None):
     return x + h
 
 
+def _proj(pp, t):
+    """proj_in/proj_out: Linear when use_linear_projection, else a 1x1
+    Conv2d (SD1.x-class checkpoints) — identical math over the channel
+    axis, so collapse the [1,1,C,C] HWIO kernel to [C,C] and apply as a
+    linear on the token layout (diffusers applies the conv before the
+    token reshape; for a 1x1 kernel the orders commute)."""
+    w = pp["weight"]
+    if w.ndim == 4:
+        pp = dict(pp, weight=w[0, 0])
+    return L.linear(pp, t)
+
+
 def _transformer(p, x, ctx, n_heads, groups, use_linear_projection=True,
                  spatial_axis=None):
     b, h, w, c = x.shape
     residual = x
     xn = L.group_norm(p["norm"], x, groups, spatial_axis=spatial_axis)
     xn = xn.reshape(b, h * w, c)
-    xn = L.linear(p["proj_in"], xn)
+    xn = _proj(p["proj_in"], xn)
 
     blk = p["transformer_blocks"]["0"]
     # self-attention
@@ -312,7 +324,7 @@ def _transformer(p, x, ctx, n_heads, groups, use_linear_projection=True,
     y = L.geglu(blk["ff"]["net"]["0"]["proj"], y)
     xn = xn + L.linear(blk["ff"]["net"]["2"], y)
 
-    xn = L.linear(p["proj_out"], xn)
+    xn = _proj(p["proj_out"], xn)
     return residual + xn.reshape(b, h, w, c)
 
 

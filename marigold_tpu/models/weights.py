@@ -72,29 +72,31 @@ def load_safetensors_flat(
             want = [f for f in names if not is_var(f)]
         if not want:
             # fallback: nothing matched (variant-only dir, or requested
-            # variant absent). If MULTIPLE variants coexist, identical
-            # keys would overwrite in filename-sort order — pick the
-            # first variant group deterministically and say so.
-            variants = sorted({
-                m.group(1) for f in names
-                for m in [re.search(r"\.(fp16|bf16|fp32)" + shard, f)]
-                if m
-            })
-            if len(variants) > 1:
+            # variant absent). NEVER load a cross-group mix — identical
+            # keys would overwrite in filename-sort order, making the
+            # winner depend on shard naming. Pick ONE group
+            # deterministically (plain first, else the alphabetically
+            # first variant) and say so.
+            groups: dict = {}
+            for f in names:
+                m = re.search(r"\.(fp16|bf16|fp32)" + shard, f)
+                groups.setdefault(m.group(1) if m else None, []).append(f)
+            if groups:
                 import logging
 
-                chosen = variants[0]
-                logging.getLogger(__name__).warning(
-                    "no %s weights under %s; multiple variants %s present "
-                    "— loading %r",
-                    "plain" if variant is None else repr(variant),
-                    path, variants, chosen,
+                chosen = (
+                    None if None in groups
+                    else sorted(k for k in groups if k is not None)[0]
                 )
-                want = [
-                    f for f in names
-                    if re.search(re.escape(f".{chosen}") + shard, f)
-                ]
-        files = sorted(os.path.join(path, f) for f in (want or names))
+                logging.getLogger(__name__).warning(
+                    "no %s weights under %s; groups %s present — "
+                    "loading %s",
+                    "plain" if variant is None else repr(variant), path,
+                    sorted(k or "plain" for k in groups),
+                    chosen or "plain",
+                )
+                want = groups[chosen]
+        files = sorted(os.path.join(path, f) for f in want)
     if not files:
         raise FileNotFoundError(f"no .safetensors files under {path}")
     for f in files:

@@ -323,3 +323,89 @@ def test_weight_variant_selection(tmp_path):
     assert plain["w1"][0, 0] == 1.0 and plain["w2"][0, 0] == 1.0
     var = W.load_safetensors_flat(str(sharded), variant="fp16")
     assert var["w1"][0, 0] == 2.0 and var["w2"][0, 0] == 2.0
+
+
+def test_weight_variant_fallback_never_mixes_groups(tmp_path, caplog):
+    """Requesting an absent variant with plain+OTHER-variant files present
+    must load exactly ONE group (plain preferred) and warn — the old
+    fallback loaded every file and let filename sort order pick the
+    winner of identical keys."""
+    import logging
+
+    from safetensors.numpy import save_file
+
+    plain = {"w": np.full((2, 2), 1.0, np.float32)}
+    bf16 = {"w": np.full((2, 2), 3.0, np.float32)}
+    save_file(plain, str(tmp_path / "model.safetensors"))
+    save_file(bf16, str(tmp_path / "model.bf16.safetensors"))
+
+    with caplog.at_level(logging.WARNING):
+        got = W.load_safetensors_flat(str(tmp_path), variant="fp16")
+    assert got["w"][0, 0] == 1.0  # plain group, not a sort-order accident
+    assert any("fp16" in r.message for r in caplog.records)
+
+    # variant-only dir (single group) also warns instead of silently
+    # loading whatever sorts last
+    only = tmp_path / "only"
+    only.mkdir()
+    save_file(bf16, str(only / "model.bf16.safetensors"))
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        got = W.load_safetensors_flat(str(only), variant="fp16")
+    assert got["w"][0, 0] == 3.0
+    assert any("bf16" in r.message for r in caplog.records)
+
+
+def test_transformer_conv_projection_matches_linear(rng):
+    """use_linear_projection=False checkpoints (SD1.x-class) store
+    proj_in/proj_out as 1x1 convs; the [1,1,C,C] HWIO kernel must apply
+    identically to the [C,C] linear form."""
+    import jax
+
+    from marigold_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig(
+        block_out_channels=(32,), attention_head_dim=(4,),
+        down_block_types=("CrossAttnDownBlock2D",),
+        up_block_types=("CrossAttnUpBlock2D",),
+        layers_per_block=1, cross_attention_dim=32, in_channels=4,
+        out_channels=4, norm_num_groups=8,
+    )
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray(500)
+    ctx = jnp.asarray(rng.standard_normal((1, 2, 32)), jnp.float32)
+    ref = unet_lib.apply(params, cfg, x, t, ctx)
+
+    def conv_form(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if k in ("proj_in", "proj_out"):
+                    out[k] = dict(v, weight=v["weight"][None, None])
+                else:
+                    out[k] = conv_form(v)
+            return out
+        return tree
+
+    got = unet_lib.apply(conv_form(params), cfg, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_surgery_rejects_non_multiple_conv_out():
+    """Re-running IID surgery on an already-widened UNet must fail fast
+    instead of silently desyncing cfg.out_channels from the weights."""
+    import jax
+    import pytest
+
+    from marigold_tpu.models import surgery, unet as unet_lib
+
+    cfg = unet_lib.UNetConfig(
+        block_out_channels=(32,), attention_head_dim=(4,),
+        down_block_types=("DownBlock2D",), up_block_types=("UpBlock2D",),
+        layers_per_block=1, in_channels=4, out_channels=8,
+        norm_num_groups=8,
+    )
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="multiple"):
+        surgery.replace_conv_in_out_multimodal(cfg, params, n_targets=3)

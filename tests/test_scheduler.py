@@ -158,3 +158,42 @@ def test_prev_timesteps():
     ts = sched.inference_timesteps(4)
     prev = sched.prev_timesteps(ts)
     np.testing.assert_array_equal(prev, [749, 499, 249, -1])
+
+
+def test_clip_sample_round_trip_and_effect():
+    """clip_sample from diffusers configs must be honored (x0 clamped,
+    eps re-derived) and survive the config round-trip — it was silently
+    dropped and rewritten as False before."""
+    cfg = {
+        "num_train_timesteps": 1000, "beta_start": 0.0001,
+        "beta_end": 0.02, "beta_schedule": "linear",
+        "prediction_type": "epsilon", "timestep_spacing": "leading",
+        "steps_offset": 0, "rescale_betas_zero_snr": False,
+        "set_alpha_to_one": True, "clip_sample": True,
+        "clip_sample_range": 1.0,
+    }
+    s = DiffusionSchedule.from_config(cfg)
+    assert s.clip_sample and s.clip_sample_range == 1.0
+    out_cfg = s.to_config()
+    assert out_cfg["clip_sample"] is True
+    assert out_cfg["clip_sample_range"] == 1.0
+
+    # an extreme epsilon prediction drives |x0| >> 1: clipping must change
+    # the step result, and match the clamped-x0 closed form
+    t, pt = jnp.asarray(500), jnp.asarray(480)
+    x = jnp.full((1, 4, 4, 4), 2.0, jnp.float32)
+    eps_pred = jnp.full_like(x, 30.0)
+    clipped = s.ddim_step(eps_pred, t, pt, x)
+
+    s0 = DiffusionSchedule.from_config(dict(cfg, clip_sample=False))
+    unclipped = s0.ddim_step(eps_pred, t, pt, x)
+    assert not np.allclose(np.asarray(clipped), np.asarray(unclipped))
+
+    a_t = float(s.alphas_cumprod[500])
+    a_p = float(s.alphas_cumprod[480])
+    x0 = (2.0 - np.sqrt(1 - a_t) * 30.0) / np.sqrt(a_t)
+    x0c = np.clip(x0, -1.0, 1.0)
+    eps_c = (2.0 - np.sqrt(a_t) * x0c) / np.sqrt(1 - a_t)
+    expect = np.sqrt(a_p) * x0c + np.sqrt(1 - a_p) * eps_c
+    np.testing.assert_allclose(np.asarray(clipped)[0, 0, 0, 0], expect,
+                               rtol=1e-5)

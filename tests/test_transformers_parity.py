@@ -102,6 +102,9 @@ def _make_vocab_files(d):
         ("c", "a"), ("t", "</w>"), ("ca", "t</w>"),  # cat
         ("1", "2"),  # numbers are split char-wise by the pre-tokenizer
         ("'", "s</w>"),
+        ("#", "#</w>"),  # a merge line STARTING with '#' (not a comment:
+        # only merges.txt line 0 is a header — regression for a loader
+        # that dropped every '#'-leading line)
     ]
     for a, b in merges:
         tok = a + b
@@ -144,6 +147,10 @@ def tokenizers(tmp_path_factory):
         "  spaced\t out\n text  ",
         "mixed123abc!?",
         "hello hello hello",
+        "tag ## x ##",  # '#'-merge must have loaded (see fixture)
+        "café au lait",  # non-ASCII letters stay one word (\p{L} parity)
+        "snake_case_name",  # '_' belongs to the punctuation class
+        "naïve 日本語 test",
     ],
 )
 def test_tokenizer_matches_transformers(tokenizers, text):
