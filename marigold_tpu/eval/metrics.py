@@ -86,14 +86,19 @@ def abs_relative_difference(output, target, valid_mask=None):
     output, target, m = _prep(output, target, valid_mask)
     with np.errstate(divide="ignore", invalid="ignore"):
         rel = np.abs(output - target) / target
-    return float(_masked_image_mean(np.nan_to_num(rel * m, posinf=0), m).mean())
+    # exclude INVALID pixels via the mask only; a VALID pixel with
+    # target==0 must propagate its inf/nan like the reference (a blanket
+    # nan_to_num averaged a fake-perfect 0 into the benchmark)
+    rel = np.where(m, rel, 0.0)
+    return float(_masked_image_mean(rel, m).mean())
 
 
 def squared_relative_difference(output, target, valid_mask=None):
     output, target, m = _prep(output, target, valid_mask)
     with np.errstate(divide="ignore", invalid="ignore"):
         rel = np.abs(output - target) ** 2 / target
-    return float(_masked_image_mean(np.nan_to_num(rel * m, posinf=0), m).mean())
+    rel = np.where(m, rel, 0.0)  # see abs_relative_difference
+    return float(_masked_image_mean(rel, m).mean())
 
 
 def rmse_linear(output, target, valid_mask=None):
@@ -106,7 +111,9 @@ def rmse_log(output, target, valid_mask=None):
     output, target, m = _prep(output, target, valid_mask)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = np.log(output) - np.log(target)
-    mse = _masked_image_mean(np.nan_to_num(d * m) ** 2, m)
+    # invalid pixels excluded by the mask; a VALID non-positive depth
+    # propagates its inf/nan like the reference
+    mse = _masked_image_mean(np.where(m, d, 0.0) ** 2, m)
     return float(np.sqrt(mse).mean())
 
 

@@ -485,11 +485,15 @@ class DiffusionCore:
         n_chunks = -(-total // chunk)
         t_pad = n_chunks * chunk
         # decode is chunked independently of the denoise batch: the
-        # decoder's 768px activations cap its batch (~20 rows on v5e),
+        # decoder's activations cap its batch (~20 rows at 768px on v5e),
         # while the denoise batch can grow to amortize fixed costs — the
-        # handoff is tiny latents, not decoded images. Chunks are balanced
-        # (ceil split) so padding never exceeds n_dec-1 rows.
-        n_dec = -(-total // min(20, total))
+        # handoff is tiny latents, not decoded images. The row cap scales
+        # inversely with output pixels (a 1024px decode carries ~1.78x
+        # the per-row activations the 20-row cap was measured at). Chunks
+        # are balanced (ceil split) so padding never exceeds n_dec-1 rows.
+        px = max(crop_hw[0] * crop_hw[1], 1)
+        dec_cap = max(1, int(20 * (768 * 768) / px))
+        n_dec = -(-total // min(dec_cap, total))
         dec_chunk = -(-total // n_dec)
         d_pad = n_dec * dec_chunk
         ens_kwargs = dict(ensemble_opts)
@@ -722,7 +726,12 @@ def load_pipeline_components(ckpt_dir: str, dtype=jnp.bfloat16,
 
 def image_to_array(input_image) -> np.ndarray:
     """PIL image / [H,W,3] uint8 / float array -> float32 [H,W,3] in [-1,1]
-    (reference preprocess, marigold_depth_pipeline.py:229-254)."""
+    (reference preprocess, marigold_depth_pipeline.py:229-254).
+
+    Float inputs are expected in [0,1]. The max()>1.5 heuristic below
+    rescues the common 0..255-float mistake, but it cannot detect a
+    dark 0..255 frame whose max is <=1.5 — pass uint8 (or [0,1] floats)
+    for unambiguous handling."""
     if isinstance(input_image, Image.Image):
         arr = np.asarray(input_image.convert("RGB"), np.float32) / 255.0
     else:
@@ -811,12 +820,14 @@ class BasePipeline:
         ensemble_kwargs: Optional[dict] = None,
         shape_bucketing: bool = False,
         spatial: bool = False,
+        resample_method: str = "bilinear",
     ):
         """Single-dispatch fused inference. Inputs edge-pad to the VAE's /8
         grid (minimal padding — the eval-protocol behavior); a validity
         mask keeps any padding out of the ensemble statistics, and
         crop-back + resize to the original resolution happen on host
-        (torch-exact bilinear).
+        (torch-parity antialiased resize honoring resample_method,
+        reference marigold_depth_pipeline.py:306-312).
 
         shape_bucketing=True pads to a 64-px grid instead, so
         mixed-resolution folder inference (cli/run.py at processing_res=0)
@@ -892,8 +903,8 @@ class BasePipeline:
         unc_np = np.asarray(jax.device_get(unc))[0, :h0, :w0]
 
         if out_hw is not None and out_hw != (h0, w0):
-            pred_np = image_util.bilinear_resize_host(pred_np, out_hw)
-            unc_np = image_util.bilinear_resize_host(unc_np, out_hw)
+            pred_np = image_util.resize_host(pred_np, out_hw, resample_method)
+            unc_np = image_util.resize_host(unc_np, out_hw, resample_method)
             if self.mode == "normals":
                 norm = np.linalg.norm(pred_np, axis=-1, keepdims=True)
                 pred_np = pred_np / np.clip(norm, 1e-6, None)
@@ -932,6 +943,38 @@ class BasePipeline:
         if processing_res is None:
             processing_res = self.default_processing_resolution or 768
         self._check_inference_step(denoising_steps)
+
+        # uint8 fast path: when no processing-res resize is needed the
+        # batch uploads raw uint8 and normalizes on device (u/127.5 - 1
+        # == image_to_array's math exactly) — 4x less host->device
+        # traffic, the serving bubble on tunneled links. Any resize keeps
+        # the reference's float preprocessing.
+        def _as_u8(im):
+            if isinstance(im, Image.Image):
+                return np.asarray(im.convert("RGB"), np.uint8)
+            a = np.asarray(im)
+            if a.dtype == np.uint8 and a.ndim == 3 and a.shape[-1] == 3:
+                return a
+            return None
+
+        u8 = [_as_u8(im) for im in input_images]
+        if all(a is not None for a in u8):
+            shapes = {a.shape for a in u8}
+            assert len(shapes) == 1, \
+                f"images must share one shape, got {shapes}"
+            ih, iw = u8[0].shape[:2]
+            if not (processing_res > 0 and max(ih, iw) != processing_res):
+                return self._infer_fused_batch(
+                    np.stack(u8),
+                    denoising_steps=denoising_steps,
+                    ensemble_size=ensemble_size,
+                    batch_size=batch_size,
+                    seed=seed,
+                    out_hw=(ih, iw) if match_input_res else None,
+                    ensemble_kwargs=ensemble_kwargs,
+                    compact_output=compact_readback,
+                    resample_method=resample_method,
+                )
 
         rgbs = [image_to_array(im) for im in input_images]
         shapes = {r.shape for r in rgbs}

@@ -97,6 +97,7 @@ class MarigoldDepthPipeline(BasePipeline):
             ensemble_kwargs=ensemble_kwargs,
             shape_bucketing=shape_bucketing,
             spatial=spatial,
+            resample_method=resample_method,
         )
         if pred_uncert is not None:
             pred_uncert = pred_uncert[..., 0]

@@ -69,7 +69,7 @@ class MarigoldIIDOutput:
             up_to_scale = target_properties[name].get("up_to_scale", False)
             if up_to_scale:
                 img_array = img_array / max(img_array.max(), 1e-6)
-            img_array = img_array ** (1 / 2.2)
+            img_array = image_util.linear2srgb(img_array)
         # "stack" and "srgb": visualize as-is
 
         img_u8 = (np.clip(img_array, 0, 1) * 255).astype(np.uint8)
@@ -160,6 +160,7 @@ class MarigoldIIDPipeline(BasePipeline):
             ensemble_kwargs=ensemble_kwargs,
             shape_bucketing=shape_bucketing,
             spatial=spatial,
+            resample_method=resample_method,
         )  # pred [h,w,3n]; uncert [h,w,3n] (per-channel MAD) or None
 
         output = MarigoldIIDOutput(target_names=self.target_names)

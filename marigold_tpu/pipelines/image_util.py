@@ -68,12 +68,87 @@ def resize_np(img: np.ndarray, out_hw: tuple[int, int], method: str = "bilinear"
     )
 
 
+def _aa_axis_matrix(n_in: int, n_out: int, method: str) -> np.ndarray:
+    """[n_out, n_in] weight matrix of torchvision's antialiased separable
+    resize (torch aten upsample_*2d_aa): kernel support scales with the
+    downscale ratio, truncated edge kernels renormalize; on upscale the
+    clamped scale is 1, which for bilinear reduces exactly to plain
+    interpolation (and for bicubic to the PIL a=-0.5 cubic)."""
+    ratio = n_in / n_out
+    clamped = max(ratio, 1.0)
+    if method == "linear":
+        f_support = 1.0
+
+        def filt(x):
+            return np.maximum(0.0, 1.0 - np.abs(x))
+    else:  # bicubic (PIL/AA cubic, a = -0.5)
+        f_support = 2.0
+        a = -0.5
+
+        def filt(x):
+            x = np.abs(x)
+            return np.where(
+                x < 1.0,
+                ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+                np.where(
+                    x < 2.0,
+                    (((x - 5.0) * x + 8.0) * x - 4.0) * a,
+                    0.0,
+                ),
+            )
+
+    support = f_support * clamped
+    centers = ratio * (np.arange(n_out) + 0.5)
+    xmin = np.maximum((centers - support + 0.5).astype(np.int64), 0)
+    xmax = np.minimum((centers + support + 0.5).astype(np.int64), n_in)
+    W = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        ks = np.arange(xmin[i], xmax[i])
+        w = filt((ks + 0.5 - centers[i]) / clamped)
+        s = w.sum()
+        if s > 0:
+            W[i, ks] = w / s
+    return W.astype(np.float32)
+
+
+def resize_host(img: np.ndarray, out_hw: tuple[int, int],
+                method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy resize with torchvision-`resize(..., antialias=True)`
+    semantics — the transform the reference applies on the resize-back
+    path (marigold_depth_pipeline.py:306-312: interpolation =
+    resample_method, antialias=True; antialias only changes downscales).
+    Runs on host: no device dispatch, no per-shape compilation.
+    method: bilinear | bicubic | nearest | nearest_exact.
+    img: [..., H, W, C]."""
+    h, w = img.shape[-3], img.shape[-2]
+    th, tw = out_hw
+    if (h, w) == (th, tw):
+        return np.asarray(img)
+    m = get_resample_method(method)  # 'linear' | 'cubic' | 'nearest'
+    if m == "nearest":
+        # half-pixel centers = torchvision NEAREST_EXACT, the variant the
+        # reference maps "nearest" onto (image_util.py:123-134)
+        ri = np.minimum(
+            ((np.arange(th) + 0.5) * (h / th)).astype(np.int64), h - 1
+        )
+        ci = np.minimum(
+            ((np.arange(tw) + 0.5) * (w / tw)).astype(np.int64), w - 1
+        )
+        return np.asarray(img)[..., ri, :, :][..., :, ci, :]
+    x = np.asarray(img, np.float32)
+    Wh = _aa_axis_matrix(h, th, m)
+    Ww = _aa_axis_matrix(w, tw, m)
+    tmp = np.einsum("oh,...hwc->...owc", Wh, x)
+    return np.einsum("pw,...owc->...opc", Ww, tmp)
+
+
 def bilinear_resize_host(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """Pure-numpy bilinear resize, exactly torch's
-    F.interpolate(mode='bilinear', align_corners=False, antialias=False) —
-    the transform the reference applies on the resize-back path
-    (marigold_depth_pipeline.py:306-312). Runs on host: no device dispatch,
-    no per-shape compilation. img: [..., H, W, C]."""
+    F.interpolate(mode='bilinear', align_corners=False, antialias=False).
+    NOTE: for the reference-faithful resize-back (antialias=True,
+    method-honoring) use `resize_host`; this plain form matches it
+    exactly on upscales and stays for callers wanting the non-AA
+    transform. img: [..., H, W, C]."""
     h, w = img.shape[-3], img.shape[-2]
     th, tw = out_hw
     if (h, w) == (th, tw):

@@ -85,6 +85,7 @@ class MarigoldNormalsPipeline(BasePipeline):
             ensemble_kwargs=ensemble_kwargs,
             shape_bucketing=shape_bucketing,
             spatial=spatial,
+            resample_method=resample_method,
         )
         if uncert is not None:
             uncert = uncert[..., 0]

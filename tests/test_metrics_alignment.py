@@ -188,3 +188,25 @@ def test_metric_tracker():
     t.update("a", 3.0)
     assert t.avg("a") == 2.0
     assert t.result()["a"] == 2.0
+
+
+def test_relative_metrics_propagate_valid_zero_depth():
+    """A VALID pixel with GT depth 0 must make the relative metrics
+    visibly non-finite (reference propagates inf/nan); only INVALID
+    pixels are excluded. Regression: a blanket nan_to_num turned such
+    pixels into fake-perfect scores."""
+    from marigold_tpu.eval import metrics as M
+
+    pred = np.full((4, 4), 0.5, np.float32)
+    gt = np.full((4, 4), 0.5, np.float32)
+    gt[0, 0] = 0.0
+    mask = np.ones((4, 4), bool)
+    assert not np.isfinite(M.abs_relative_difference(pred, gt, mask))
+    assert not np.isfinite(M.squared_relative_difference(pred, gt, mask))
+    assert not np.isfinite(M.rmse_log(pred, gt, mask))
+
+    # the SAME zero-depth pixel excluded by the mask: finite and exact
+    mask[0, 0] = False
+    assert M.abs_relative_difference(pred, gt, mask) == 0.0
+    assert M.squared_relative_difference(pred, gt, mask) == 0.0
+    assert M.rmse_log(pred, gt, mask) == 0.0

@@ -87,3 +87,42 @@ def test_bilinear_resize_host_matches_torch(in_hw, out_hw, rng):
         )[0].permute(1, 2, 0).numpy()
     )
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("method,mode", [
+    ("bilinear", "bilinear"), ("bicubic", "bicubic"),
+])
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((96, 96), (768, 768)),    # upscale (protocol resize-back)
+    ((768, 768), (480, 640)),  # downscale back (input < processing_res)
+    ((37, 53), (40, 60)),
+    ((40, 60), (37, 53)),
+])
+def test_resize_host_matches_torch_antialias(method, mode, in_hw, out_hw, rng):
+    """The reference's resize-back is torchvision resize(interpolation=
+    resample_method, antialias=True) (marigold_depth_pipeline.py:306-312);
+    resize_host must match it at every scale — antialias only changes
+    downscales, so the old non-AA host resize diverged exactly there."""
+    x = rng.standard_normal(in_hw + (3,)).astype(np.float32)
+    ours = image_util.resize_host(x, out_hw, method)
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(2, 0, 1)[None], size=out_hw,
+            mode=mode, antialias=True, align_corners=False,
+        )[0].permute(1, 2, 0).numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_resize_host_nearest_is_nearest_exact(rng):
+    """'nearest' maps to torchvision NEAREST_EXACT (reference
+    image_util.py:123-134) in resize_host too."""
+    x = rng.standard_normal((41, 57, 3)).astype(np.float32)
+    ours = image_util.resize_host(x, (29, 37), "nearest")
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(2, 0, 1)[None], size=(29, 37),
+            mode="nearest-exact",
+        )[0].permute(1, 2, 0).numpy()
+    )
+    np.testing.assert_array_equal(ours, theirs)
