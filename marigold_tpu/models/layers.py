@@ -197,35 +197,51 @@ def group_norm(p, x, num_groups=32, eps=1e-6, act=None, spatial_axis=None):
     these reductions into the producing conv's epilogue) makes the full
     serving program 2% SLOWER — isolated convs run 72-93% MFU vs 41-50%
     in-program, but the gap comes from program-level layout assignment,
-    not the fused reduce (v5e traces, docs/PERFORMANCE.md)."""
+    not the fused reduce (v5e traces, docs/PERFORMANCE.md).
+
+    Statistics layout (measured, r5 v5e trace): reducing a (g, c/g)
+    reshape of the big tensor splits the 128-lane channel tiles at
+    non-aligned group boundaries (c/g = 10 at C=320), and the resulting
+    stat fusions ran 4.7-17 ms each — ~60x over the HBM floor, ~115 ms
+    of a 739 ms UNet forward. Instead reduce per CHANNEL over the
+    spatial axes (native-layout, lane-parallel), then group-aggregate
+    the tiny [B, C] partials; identical fp32 math (the group sum is a
+    sum of per-channel fp32 partial sums)."""
     orig_dtype = x.dtype
     shape = x.shape
     c = shape[-1]
     g = num_groups
-    xg = x.reshape(shape[:-1] + (g, c // g))
-    red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    n_red = int(np.prod([xg.shape[a] for a in red_axes]))
-    s1 = jnp.sum(xg, axis=red_axes, keepdims=True, dtype=jnp.float32)
-    s2 = jnp.sum(
-        jnp.square(xg.astype(jnp.float32)), axis=red_axes, keepdims=True,
-        dtype=jnp.float32,
+    cg = c // g
+    red_axes = tuple(range(1, x.ndim - 1))
+    n_red = int(np.prod([shape[a] for a in red_axes])) * cg
+    s1c = jnp.sum(x, axis=red_axes, dtype=jnp.float32)  # [B, C]
+    s2c = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=red_axes, dtype=jnp.float32
     )
     if spatial_axis is not None:
-        s1 = jax.lax.psum(s1, spatial_axis)
-        s2 = jax.lax.psum(s2, spatial_axis)
+        s1c = jax.lax.psum(s1c, spatial_axis)
+        s2c = jax.lax.psum(s2c, spatial_axis)
         n_red *= jax.lax.axis_size(spatial_axis)
+    bsz = shape[0]
+    s1 = jnp.sum(s1c.reshape(bsz, g, cg), axis=-1)  # tiny [B, g]
+    s2 = jnp.sum(s2c.reshape(bsz, g, cg), axis=-1)
     mean = s1 / n_red
     var = jnp.maximum(s2 / n_red - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    # fold (x - mean) * inv * w + b  ->  x * (inv*w) + (b - mean*inv*w)
-    w = p["weight"].astype(jnp.float32).reshape(g, c // g)
-    b = p["bias"].astype(jnp.float32).reshape(g, c // g)
-    scale = inv * w
-    shift = b - mean * scale
-    y = xg.astype(jnp.float32) * scale + shift
+    # fold (x - mean) * inv * w + b  ->  x * (inv*w) + (b - mean*inv*w),
+    # expanded to per-channel [B, C] so the big-tensor pass needs no
+    # group reshape
+    w = p["weight"].astype(jnp.float32)
+    b = p["bias"].astype(jnp.float32)
+    inv_c = jnp.repeat(inv, cg, axis=-1)  # [B, C]
+    mean_c = jnp.repeat(mean, cg, axis=-1)
+    scale = inv_c * w
+    shift = b - mean_c * scale
+    bshape = (bsz,) + (1,) * (x.ndim - 2) + (c,)
+    y = x.astype(jnp.float32) * scale.reshape(bshape) + shift.reshape(bshape)
     if act == "silu":
         y = jax.nn.silu(y)
-    return y.reshape(shape).astype(orig_dtype)
+    return y.astype(orig_dtype)
 
 
 def layer_norm(p, x, eps=1e-5):
