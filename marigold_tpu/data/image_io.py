@@ -83,6 +83,14 @@ def read_img_from_file(path: str) -> np.ndarray:
         return decode_image_bytes(f.read(), path)
 
 
+def read_exr_raw(path: str) -> np.ndarray:
+    """Decode an EXR without any range clipping — required for signed data
+    (normal maps), where decode_image_bytes' non-negative radiance clip
+    would zero out the negative components."""
+    with open(path, "rb") as f:
+        return _decode_exr_bytes(f.read())
+
+
 def read_img_from_tar(tar_obj, rel_path: str) -> np.ndarray:
     member = tar_obj.extractfile("./" + rel_path)
     return decode_image_bytes(member.read(), rel_path)

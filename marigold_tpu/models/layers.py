@@ -218,13 +218,15 @@ def group_norm(p, x, num_groups=32, eps=1e-6, act=None, spatial_axis=None):
     s2c = jnp.sum(
         jnp.square(x.astype(jnp.float32)), axis=red_axes, dtype=jnp.float32
     )
-    if spatial_axis is not None:
-        s1c = jax.lax.psum(s1c, spatial_axis)
-        s2c = jax.lax.psum(s2c, spatial_axis)
-        n_red *= jax.lax.axis_size(spatial_axis)
     bsz = shape[0]
     s1 = jnp.sum(s1c.reshape(bsz, g, cg), axis=-1)  # tiny [B, g]
     s2 = jnp.sum(s2c.reshape(bsz, g, cg), axis=-1)
+    if spatial_axis is not None:
+        # group-aggregate BEFORE the collective: psum commutes with the
+        # [B,C]->[B,g] sum, and the [B,g] payload is c/g x smaller
+        s1 = jax.lax.psum(s1, spatial_axis)
+        s2 = jax.lax.psum(s2, spatial_axis)
+        n_red *= jax.lax.axis_size(spatial_axis)
     mean = s1 / n_red
     var = jnp.maximum(s2 / n_red - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)
