@@ -107,6 +107,17 @@ def build_parser():
     p.add_argument("--processing_res", type=int, default=None,
                    help="Override the protocol's pinned processing "
                         "resolution (smoke tests on small models).")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-faithful mode: pins the two documented "
+                        "serving-path deviations (docs/PARITY.md "
+                        "'Reproduction pins') — flash softmax 'online' "
+                        "(exact running-max instead of the shifted "
+                        "fast path) and ensemble reg_max_res=1024 "
+                        "(full-res range regularizer). Use for "
+                        "real-weights metric-parity runs.")
+    p.add_argument("--ensemble_reg_max_res", type=int, default=None,
+                   help="pin the ensemble range-regularizer solve "
+                        "resolution (overrides --parity's 1024).")
     return p
 
 
@@ -114,11 +125,25 @@ def main(argv=None):
     from marigold_tpu.cli import apply_platform_env
 
     apply_platform_env()
-    from marigold_tpu.cli.eval import main as eval_main
-    from marigold_tpu.cli.infer import main as infer_main
 
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    reg_max_res = args.ensemble_reg_max_res
+    if args.parity:
+        # pin the documented serving-path deviations (PARITY.md
+        # 'Reproduction pins'): exact online softmax in the flash
+        # kernel + full-res ensemble range regularizer. The env var
+        # covers any child process; the setter covers this one even
+        # if ops.attention was imported before the flag was parsed.
+        os.environ["MARIGOLD_TPU_FLASH_SOFTMAX"] = "online"
+        from marigold_tpu.ops.attention import set_flash_softmax
+
+        set_flash_softmax("online")
+        if reg_max_res is None:
+            reg_max_res = 1024
+
+    from marigold_tpu.cli.eval import main as eval_main
+    from marigold_tpu.cli.infer import main as infer_main
     base_data_dir = args.base_data_dir or os.environ.get("BASE_DATA_DIR")
     if not base_data_dir:
         raise SystemExit("--base_data_dir or $BASE_DATA_DIR required")
@@ -151,6 +176,8 @@ def main(argv=None):
 
         limit = ["--limit", str(args.limit)] if args.limit > 0 else []
         overwrite = ["--overwrite"] if args.overwrite else []
+        reg = (["--ensemble_reg_max_res", str(reg_max_res)]
+               if reg_max_res is not None else [])
         if not args.skip_infer:
             rc = infer_main([
                 "--modality", args.modality,
@@ -163,7 +190,7 @@ def main(argv=None):
                 "--processing_res", str(proto["processing_res"]),
                 "--seed", str(proto["seed"]),
                 "--serving_batch", str(args.serving_batch),
-            ] + limit + overwrite)
+            ] + limit + overwrite + reg)
             if rc != 0:
                 return rc
         rc = eval_main([

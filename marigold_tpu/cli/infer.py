@@ -41,6 +41,11 @@ def build_parser():
                         help="Only process the first N samples (0 = all). "
                              "For smoke-testing the real protocol configs "
                              "on partial data trees.")
+    parser.add_argument("--ensemble_reg_max_res", type=int, default=None,
+                        help="pin the ensemble range-regularizer solve "
+                             "resolution (reference-faithful: 1024; "
+                             "serving default: 96 — docs/PARITY.md "
+                             "'Reproduction pins').")
     parser.add_argument("--overwrite", action="store_true",
                         help="Recompute predictions that already exist "
                              "(default: skip existing files — the "
@@ -102,6 +107,10 @@ def main(argv=None):
         seed=seed,
         show_progress_bar=False,
     )
+    if args.ensemble_reg_max_res is not None:
+        common["ensemble_kwargs"] = {
+            "reg_max_res": args.ensemble_reg_max_res
+        }
 
     # batched-serving fast path (all modalities): group same-shape
     # consecutive samples into one fused program

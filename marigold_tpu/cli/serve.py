@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Seconds an unreadable file (e.g. an upload in "
                         "progress) keeps being retried before it is "
                         "skipped for good (default max(30, 4*batch_wait))")
+    p.add_argument("--http_max_body_mb", type=int, default=64,
+                   help="Reject POST bodies larger than this (413): a "
+                        "single unbounded upload would otherwise buffer "
+                        "multi-GB into host memory")
     p.add_argument("--http_port", type=int, default=None,
                    help="Also serve an HTTP API on this port: POST an "
                         "image to /v1/predict (?format=npy|png) and the "
@@ -101,20 +105,32 @@ def _load_pipeline(args):
     )
 
 
-def _scan_new(watch_dir: str, seen: set) -> List[str]:
+def _scan_new(watch_dir: str, seen: set,
+              read_failures: Optional[dict] = None) -> List[str]:
     out = []
     try:
         names = sorted(os.listdir(watch_dir))
     except FileNotFoundError:
         return out
+    current = set()
     for name in names:
         if not name.lower().endswith(EXTENSIONS):
             continue
         path = os.path.join(watch_dir, name)
+        current.add(path)
         if path in seen:
             continue
         seen.add(path)
         out.append(path)
+    # evict bookkeeping for files no longer present: a months-long daemon
+    # over a churned directory must not grow `seen` without bound. (A
+    # deleted-then-recreated file is treated as new work — the natural
+    # watch-directory semantics.)
+    if len(seen) > len(current):
+        seen.intersection_update(current)
+    if read_failures:
+        for path in [p for p in read_failures if p not in current]:
+            del read_failures[path]
     return out
 
 
@@ -196,7 +212,8 @@ def _serialize_http(job: "_HttpJob", modality: str, out) -> None:
     job.result = buf.getvalue()
 
 
-def _start_http_server(port: int, inbox, stats: dict, timeout_s: float):
+def _start_http_server(port: int, inbox, stats: dict, timeout_s: float,
+                       max_body_bytes: int = 64 * 1024 * 1024):
     """stdlib ThreadingHTTPServer feeding the serve loop's inbox. Each
     handler thread blocks on its job's event until the batch containing
     it completes (device readback releases the GIL, so handler threads
@@ -239,6 +256,20 @@ def _start_http_server(port: int, inbox, stats: dict, timeout_s: float):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._reply(400, b"bad Content-Length", "text/plain")
+                return
+            if n > max_body_bytes:
+                # body is left unread: close the connection so the bytes
+                # can't be misparsed as a follow-up request
+                self.close_connection = True
+                self._reply(
+                    413,
+                    f"body too large ({n} > {max_body_bytes} bytes)".encode(),
+                    "text/plain",
+                )
+                return
+            try:
                 if n <= 0:
                     raise ValueError("empty body")
                 im = Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB")
@@ -336,6 +367,7 @@ def serve(args, stop_event=None) -> int:
         http_server = _start_http_server(
             args.http_port, http_inbox, stats,
             timeout_s=max(600.0, 10 * args.batch_wait),
+            max_body_bytes=args.http_max_body_mb * 1024 * 1024,
         )
         logging.info(f"HTTP API on :{args.http_port} "
                      "(POST /v1/predict, GET /healthz)")
@@ -355,7 +387,7 @@ def serve(args, stop_event=None) -> int:
                 new_paths = []
             else:
                 last_scan = time.monotonic()
-                new_paths = _scan_new(args.watch_dir, seen)
+                new_paths = _scan_new(args.watch_dir, seen, read_failures)
             for path in new_paths:
                 t_scan = time.monotonic()
                 rf = read_failures.get(path)
@@ -425,6 +457,15 @@ def serve(args, stop_event=None) -> int:
                     and not dispatched and not read_failures):
                 break
             if stop_event is not None and stop_event.is_set():
+                # graceful drain: everything already accepted (watched
+                # files and HTTP jobs sitting in the shape buckets) still
+                # runs; the finally block waits for in-flight futures
+                for shape in list(buckets):
+                    dq = buckets[shape]
+                    if dq:
+                        futures.append(pool.submit(run_batch, list(dq)))
+                        stats["batches"] += 1
+                    del buckets[shape]
                 break
             if not dispatched:
                 # with the HTTP API up, poll the inbox at request latency
@@ -444,13 +485,33 @@ def serve(args, stop_event=None) -> int:
     return 1 if failures else 0
 
 
+def _install_sigterm_drain():
+    """SIGTERM -> graceful drain (finish accepted work, then exit).
+    Returns the stop event, or None when not installable (non-main
+    thread, e.g. embedded in tests)."""
+    import signal
+    import threading
+
+    stop = threading.Event()
+
+    def _on_term(signum, frame):
+        logging.info("SIGTERM: draining accepted work, then shutting down")
+        stop.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        return None
+    return stop
+
+
 def main(argv=None) -> int:
     from marigold_tpu.cli import apply_platform_env
 
     apply_platform_env()
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
-    return serve(args)
+    return serve(args, stop_event=_install_sigterm_drain())
 
 
 if __name__ == "__main__":

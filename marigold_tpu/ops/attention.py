@@ -24,6 +24,23 @@ _DISABLE_FLASH = os.environ.get("MARIGOLD_TPU_DISABLE_FLASH", "0") == "1"
 _FLASH_SOFTMAX = os.environ.get("MARIGOLD_TPU_FLASH_SOFTMAX", "shifted")
 
 
+def get_flash_softmax() -> str:
+    """Current flash-softmax mode ("shifted" serving default, "online"
+    reference-exact). Pipeline program-cache keys include this value so a
+    mode switch never reuses a program compiled under the other mode."""
+    return _FLASH_SOFTMAX
+
+
+def set_flash_softmax(mode: str) -> None:
+    """Pin the flash-softmax mode at runtime (the `--parity` gate calls
+    this with "online"; env var MARIGOLD_TPU_FLASH_SOFTMAX sets the
+    import-time default — docs/PARITY.md 'Reproduction pins')."""
+    if mode not in ("shifted", "online"):
+        raise ValueError(f"flash softmax mode must be shifted|online, got {mode!r}")
+    global _FLASH_SOFTMAX
+    _FLASH_SOFTMAX = mode
+
+
 def _on_tpu() -> bool:
     try:
         platform = jax.default_backend()

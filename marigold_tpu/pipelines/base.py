@@ -441,8 +441,10 @@ class DiffusionCore:
             # sharded mega-chunk, so the caller's batch_size is dead here
             n_dev = self.mesh.shape["data"]
             chunk = -(-ensemble_size // n_dev) * n_dev
+        from marigold_tpu.ops.attention import get_flash_softmax
+
         key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
-               n_targets, ensemble_opts, spatial)
+               n_targets, ensemble_opts, spatial, get_flash_softmax())
         return self._cached_program(
             key,
             lambda: self._build_fused_fn(num_steps, ensemble_size, chunk,
@@ -654,9 +656,11 @@ class DiffusionCore:
     def get_batch_fn(self, hp, wp, num_steps, ensemble_size, chunk, mode,
                      n_targets, out_hw, crop_hw, ensemble_opts, n_images,
                      compact_output=False, resample_method="bilinear"):
+        from marigold_tpu.ops.attention import get_flash_softmax
+
         key = ("batch", hp, wp, num_steps, ensemble_size, chunk, mode,
                n_targets, out_hw, crop_hw, ensemble_opts, n_images,
-               compact_output, resample_method)
+               compact_output, resample_method, get_flash_softmax())
         return self._cached_program(
             key,
             lambda: self._build_batch_fn(num_steps, ensemble_size, chunk,

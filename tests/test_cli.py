@@ -608,3 +608,165 @@ def test_serve_http_api_iid(tmp_path, rng):
     finally:
         stop.set()
         t.join(timeout=60)
+
+
+# ---------------- serve daemon hardening (long-lived process) ---------------- #
+
+
+def test_scan_new_evicts_deleted(tmp_path):
+    """`seen` and `read_failures` must not grow without bound: entries for
+    files no longer in the watch dir are evicted; a recreated file counts
+    as new work."""
+    from marigold_tpu.cli.serve import _scan_new
+
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"x")
+    (d / "b.png").write_bytes(b"x")
+    seen, rf = set(), {}
+    assert len(_scan_new(str(d), seen, rf)) == 2
+    assert len(seen) == 2
+
+    rf[str(d / "a.png")] = [1, 0.0, 0.0]
+    (d / "a.png").unlink()
+    assert _scan_new(str(d), seen, rf) == []
+    assert seen == {str(d / "b.png")}
+    assert rf == {}
+
+    (d / "a.png").write_bytes(b"x")
+    assert _scan_new(str(d), seen, rf) == [str(d / "a.png")]
+
+
+def test_sigterm_sets_drain_event():
+    import signal
+    import time as _time
+
+    from marigold_tpu.cli.serve import _install_sigterm_drain
+
+    old = signal.getsignal(signal.SIGTERM)
+    try:
+        stop = _install_sigterm_drain()
+        assert stop is not None and not stop.is_set()
+        os.kill(os.getpid(), signal.SIGTERM)
+        for _ in range(200):
+            if stop.is_set():
+                break
+            _time.sleep(0.01)
+        assert stop.is_set()
+    finally:
+        signal.signal(signal.SIGTERM, old)
+
+
+def test_serve_drain_on_stop(depth_ckpt, tmp_path, rng):
+    """A stop request (SIGTERM / stop_event) drains accepted work: files
+    sitting in an under-full bucket still run before the daemon exits."""
+    import threading
+    import time as _time
+    import urllib.request
+
+    from marigold_tpu.cli.serve import build_parser, serve
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        ).save(watch / f"img{i}.png")
+    port = _serve_free_port()
+    args = build_parser().parse_args([
+        "--checkpoint", depth_ckpt,
+        "--modality", "depth",
+        "--watch_dir", str(watch),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_images", "4",      # bucket stays under-full ...
+        "--batch_wait", "600",      # ... and never times out on its own
+        "--ensemble_size", "1",
+        "--denoise_steps", "1",
+        "--processing_res", "32",
+        "--poll_interval", "0.1",
+        "--http_port", str(port),
+        "--color_map", "None",
+    ])
+    stop = threading.Event()
+    rc_box = []
+    t = threading.Thread(
+        target=lambda: rc_box.append(serve(args, stop)), daemon=True
+    )
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # wait until both files are accepted into the bucket
+        for _ in range(600):
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5) as r:
+                    if json.loads(r.read()).get("pending", 0) >= 2:
+                        break
+            except Exception:
+                pass
+            _time.sleep(0.1)
+        else:
+            raise AssertionError("files never accepted")
+    finally:
+        stop.set()
+        t.join(timeout=180)
+    assert not t.is_alive()
+    assert rc_box == [0]
+    out_npy = tmp_path / "out" / "depth_npy"
+    assert sorted(os.listdir(out_npy)) == ["img0_pred.npy", "img1_pred.npy"]
+
+
+def test_serve_http_oversized_body_413(depth_ckpt, tmp_path):
+    """POST bodies over --http_max_body_mb are rejected with 413 before
+    any buffering of the payload."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from marigold_tpu.cli.serve import build_parser, serve
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    port = _serve_free_port()
+    args = build_parser().parse_args([
+        "--checkpoint", depth_ckpt,
+        "--modality", "depth",
+        "--watch_dir", str(watch),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_images", "1",
+        "--ensemble_size", "1",
+        "--denoise_steps", "1",
+        "--processing_res", "32",
+        "--poll_interval", "0.1",
+        "--batch_wait", "0.2",
+        "--http_port", str(port),
+        "--http_max_body_mb", "1",
+        "--color_map", "None",
+    ])
+    stop = threading.Event()
+    t = threading.Thread(target=serve, args=(args, stop), daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        import time as _time
+
+        for _ in range(600):
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5):
+                    break
+            except Exception:
+                _time.sleep(0.1)
+        else:
+            raise AssertionError("http server never came up")
+        big = b"\0" * (1024 * 1024 + 1)
+        req = urllib.request.Request(
+            f"{base}/v1/predict", data=big, method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTPError 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not t.is_alive()
