@@ -237,4 +237,10 @@ def save_text_encoder(cfg, params, subdir: str) -> None:
 def cast_tree(tree, dtype):
     import jax
 
-    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+    # leaves already in `dtype` pass through untouched: astype on a
+    # same-dtype device array is a dispatch per leaf (~700 tunnel round
+    # trips at SD2 scale — measured part of the warm-start cost)
+    return jax.tree_util.tree_map(
+        lambda x: x if getattr(x, "dtype", None) == dtype else x.astype(dtype),
+        tree,
+    )

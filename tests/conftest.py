@@ -23,6 +23,30 @@ jax.config.update("jax_enable_x64", False)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Two-tier suite: these modules are dominated by multi-minute e2e runs
+# (the 12-way benchmark-protocol matrix, 2-process CLI training, serving
+# daemons, full-pipeline compiles). `pytest -m "not slow"` is the <5 min
+# inner-loop tier; the full suite stays the pre-commit gate.
+SLOW_MODULES = {
+    "test_benchmark_protocol",
+    "test_multiprocess",
+    "test_cli",
+    "test_pipelines_e2e",
+    "test_closest_e2e",
+    "test_pipeline_oracle",
+    "test_compile_cache",
+    "test_parity_gate",
+    "test_trainer",
+    "test_trainer_modalities",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__ if item.module else ""
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
