@@ -57,9 +57,18 @@ def main():
     unet_cfg = unet_lib.UNetConfig()  # full SD2, in 8ch / out 4ch
     vae_cfg = vae_lib.VAEConfig()  # full SD2 VAE
 
+    # One jitted program for the whole init: the eager path is hundreds of
+    # per-layer RNG dispatches through the device tunnel (measured 135 s on
+    # the tunneled v5e); as a single cached program it is ~0.1 s warm
+    # (scripts/profile_warm_start.py, docs/PERFORMANCE.md "Warm start").
     t0 = time.time()
-    unet_params = unet_lib.init_params(k1, unet_cfg, dtype=dtype)
-    vae_params = vae_lib.init_params(k2, vae_cfg, dtype=dtype)
+    init_fn = jax.jit(
+        lambda ka, kb: (
+            unet_lib.init_params(ka, unet_cfg, dtype=dtype),
+            vae_lib.init_params(kb, vae_cfg, dtype=dtype),
+        )
+    )
+    unet_params, vae_params = jax.block_until_ready(init_fn(k1, k2))
     init_s = time.time() - t0
 
     core = DiffusionCore(

@@ -493,7 +493,13 @@ class DiffusionCore:
         # inversely with output pixels (a 1024px decode carries ~1.78x
         # the per-row activations the 20-row cap was measured at). Chunks
         # are balanced (ceil split) so padding never exceeds n_dec-1 rows.
+        # IID decodes n_targets latent groups per row; the decodes carry
+        # no data dependence so XLA overlaps their activations — the cap
+        # is per decoded image, not per row (measured: a 24-row 640px
+        # 3-target chunk compiled to 21.1 GB HBM and OOMed).
         px = max(crop_hw[0] * crop_hw[1], 1)
+        if mode == "iid":
+            px *= max(n_targets, 1)
         dec_cap = max(1, int(20 * (768 * 768) / px))
         n_dec = -(-total // min(dec_cap, total))
         dec_chunk = -(-total // n_dec)
