@@ -109,12 +109,14 @@ def main():
     # at <=20 rows). Inputs upload as uint8 and normalize on device — 4x
     # less host->device traffic, which was the steady-state pipeline
     # bubble.
-    # NI=4 (40-row denoise batch): r2's nondeterministic OOM at NI=4 was
-    # the VAE mid-attention's [20,9216,9216] fp32 logits transient
-    # (~6.8 GB); with that attention on the K-blocked flash kernel the
-    # transient is gone and NI=4 is stable and ~4% faster than NI=2
-    # (0.757 vs 0.729 maps/s, repeated runs)
-    NI = int(os.environ.get("MARIGOLD_BENCH_NI", "4"))
+    # NI sweep (repeated runs, v5e): 2 -> 0.729, 3 -> 0.815-0.820,
+    # 4 -> 0.775, 6 -> slower. NI=3 (30-row denoise, 2x15-row decode
+    # chunks) is the measured optimum: the 40-row batch sits at the HBM
+    # edge and schedules worse. (r1's "NI=3 compile OOM" was the old
+    # monolithic program; the decoupled denoise/decode structure fixed
+    # it, but NI=3 was never re-tried until round 3 of the continuous
+    # build.)
+    NI = int(os.environ.get("MARIGOLD_BENCH_NI", "3"))
     imgs = [img] + [
         rng.integers(0, 255, (RES, RES, 3), dtype=np.uint8)
         for _ in range(NI - 1)

@@ -31,7 +31,10 @@ import jax
 import jax.numpy as jnp
 
 from marigold_tpu.models import layers as L
-from marigold_tpu.ops.attention import scaled_dot_product_attention
+from marigold_tpu.ops.attention import (
+    scaled_dot_product_attention,
+    self_attention_projected,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -301,14 +304,12 @@ def _transformer(p, x, ctx, n_heads, groups, use_linear_projection=True,
     xn = _proj(p["proj_in"], xn)
 
     blk = p["transformer_blocks"]["0"]
-    # self-attention
+    # self-attention: projections fused around the flash kernel's
+    # transposed layout on TPU (falls back to linear+sdpa elsewhere)
     y = L.layer_norm(blk["norm1"], xn)
-    a1 = blk["attn1"]
-    attn_out = scaled_dot_product_attention(
-        L.linear(a1["to_q"], y), L.linear(a1["to_k"], y), L.linear(a1["to_v"], y),
-        num_heads=n_heads, spatial_axis=spatial_axis,
+    xn = xn + self_attention_projected(
+        y, blk["attn1"], num_heads=n_heads, spatial_axis=spatial_axis
     )
-    xn = xn + L.linear(a1["to_out"]["0"], attn_out)
     # cross-attention over text context (length-2 empty-prompt in Marigold)
     y = L.layer_norm(blk["norm2"], xn)
     a2 = blk["attn2"]

@@ -128,3 +128,80 @@ def scaled_dot_product_attention(
             .reshape(b, nq, c)
         )
     return xla_attention(q, k, v, num_heads, mask)
+
+
+# Measured SLOWER end-to-end on v5e (0.747 vs 0.775 maps/s serving): XLA
+# does not fold the output transpose into the projection dot — the traced
+# program shows the bhdn einsums at 95 TF/s (vs 109 for the plain dots)
+# PLUS 64.5 ms/batch of explicit data-formatting around them, a net
+# +23 ms/batch over the fold_t copies they replace. Kept opt-in as a
+# recorded investigation (docs/PERFORMANCE.md "projected-QKV layout").
+_PROJECTED_ATTN = os.environ.get("MARIGOLD_TPU_PROJECTED_ATTN", "0") == "1"
+
+
+def self_attention_projected(
+    y: jax.Array, attn_params: dict, num_heads: int,
+    spatial_axis: Optional[str] = None,
+) -> jax.Array:
+    """Self-attention including its four projections, with Q/K/V computed
+    DIRECTLY in the flash kernel's transposed [B*H, hd, N] layout.
+
+    The standard path projects in [B,N,C] and then transposes each of
+    Q/K/V to [B*H, hd, N] (fold_t above) and the kernel output back —
+    four full layout-change passes over level-0-sized tensors per block
+    (the 'data formatting'/'copy' slice of the serving trace). Emitting
+    the projection einsum with the head/head-dim axes already leading
+    lets XLA fold the transpose into the dot's output layout instead.
+
+    Numerically identical math to linear()+scaled_dot_product_attention
+    (same contractions, bf16-preferred accumulation); only the layout
+    path differs. Falls back to that exact path whenever the flash
+    kernel would not be used (short sequences, non-TPU, spatial mode,
+    env kill-switch MARIGOLD_TPU_PROJECTED_ATTN=0).
+    """
+    from marigold_tpu.models import layers as L
+
+    b, n, c = y.shape
+    hd = c // num_heads
+    a_out = attn_params["to_out"]["0"]
+
+    use_projected = (
+        _PROJECTED_ATTN and spatial_axis is None and use_flash(n, n)
+    )
+    if use_projected:
+        from marigold_tpu.ops.flash_attention import (
+            _KV_RESIDENT_BYTES,
+            flash_attention_dt,
+        )
+
+        kv_bytes = 2 * hd * ((n + 127) // 128 * 128) * y.dtype.itemsize
+        if _FLASH_SOFTMAX == "online" and kv_bytes > _KV_RESIDENT_BYTES:
+            use_projected = False
+
+    if not use_projected:
+        q = L.linear(attn_params["to_q"], y)
+        k = L.linear(attn_params["to_k"], y)
+        v = L.linear(attn_params["to_v"], y)
+        out = scaled_dot_product_attention(
+            q, k, v, num_heads=num_heads, spatial_axis=spatial_axis
+        )
+        return L.linear(a_out, out)
+
+    def proj_t(w):  # [C,C] -> [B*H, hd, N] projected activations
+        wr = w.reshape(c, num_heads, hd)
+        t = jnp.einsum("bnc,chd->bhdn", y, wr,
+                       preferred_element_type=y.dtype)
+        return t.reshape(b * num_heads, hd, n)
+
+    out_t = flash_attention_dt(
+        proj_t(attn_params["to_q"]["weight"]),
+        proj_t(attn_params["to_k"]["weight"]),
+        proj_t(attn_params["to_v"]["weight"]),
+        softmax=_FLASH_SOFTMAX,
+    )
+    wo = a_out["weight"].reshape(num_heads, hd, c)
+    out = jnp.einsum(
+        "bhdn,hdc->bnc", out_t.reshape(b, num_heads, hd, n), wo,
+        preferred_element_type=y.dtype,
+    )
+    return out + a_out["bias"]

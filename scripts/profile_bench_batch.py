@@ -33,8 +33,13 @@ def main():
     k1, k2 = jax.random.split(key)
     unet_cfg = unet_lib.UNetConfig()
     vae_cfg = vae_lib.VAEConfig()
-    unet_params = unet_lib.init_params(k1, unet_cfg, dtype=dtype)
-    vae_params = vae_lib.init_params(k2, vae_cfg, dtype=dtype)
+    init_fn = jax.jit(
+        lambda ka, kb: (
+            unet_lib.init_params(ka, unet_cfg, dtype=dtype),
+            vae_lib.init_params(kb, vae_cfg, dtype=dtype),
+        )
+    )
+    unet_params, vae_params = jax.block_until_ready(init_fn(k1, k2))
     core = DiffusionCore(unet_cfg, unet_params, vae_cfg, vae_params,
                          text_cfg=None, text_params=None,
                          schedule=DiffusionSchedule.create(), dtype=dtype)
@@ -91,6 +96,19 @@ def main():
     for nm, dur in agg.most_common(18):
         print(f"  {dur/1e3/2:9.2f} ms x{cnt[nm]//2:5d}  {nm}")
     print(f"  ---- total device {tot/1e6/2:.3f} s/batch")
+
+    # individual op instances (exact names incl. fusion numbers), to
+    # locate WHICH fusions carry the non-matmul time
+    inst, icnt = collections.Counter(), collections.Counter()
+    for e in events:
+        nm = e["name"]
+        if nm.startswith("jit_"):
+            continue
+        inst[nm] += e.get("dur", 0)
+        icnt[nm] += 1
+    print("\ntop individual ops (ms per batch, x count):")
+    for nm, dur in inst.most_common(40):
+        print(f"  {dur/1e3/2:9.2f} ms x{icnt[nm]//2:5d}  {nm}")
 
 
 if __name__ == "__main__":

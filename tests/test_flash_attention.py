@@ -340,3 +340,40 @@ def test_unet_grad_flows_through_flash_dispatch(rng, monkeypatch):
             np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=1e-3,
             err_msg=jax.tree_util.keystr(p),
         )
+
+
+def test_self_attention_projected_matches_fallback(rng, monkeypatch):
+    """The projected path (Q/K/V emitted directly in the kernel's
+    [B*H, hd, N] layout, out-projection folded in) must match the
+    standard linear+sdpa+linear path."""
+    import functools as _ft
+
+    from marigold_tpu.models import layers as L
+    from marigold_tpu.ops import attention as A
+    from marigold_tpu.ops.flash_attention import flash_attention_dt as _dt
+
+    b, n, c, heads = 2, 192, 32, 4
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    params = {
+        "to_q": L.init_linear(ks[0], c, c, jnp.float32, bias=False),
+        "to_k": L.init_linear(ks[1], c, c, jnp.float32, bias=False),
+        "to_v": L.init_linear(ks[2], c, c, jnp.float32, bias=False),
+        "to_out": {"0": L.init_linear(ks[3], c, c, jnp.float32)},
+    }
+    y = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+
+    monkeypatch.setattr(A, "_PROJECTED_ATTN", False)
+    ref = A.self_attention_projected(y, params, num_heads=heads)
+
+    monkeypatch.setattr(A, "_PROJECTED_ATTN", True)
+    monkeypatch.setattr(A, "_FLASH_MIN_SEQ", 1)
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        "marigold_tpu.ops.flash_attention.flash_attention_dt",
+        _ft.partial(_dt, block_q=128, block_k=128, interpret=True),
+    )
+    out = A.self_attention_projected(y, params, num_heads=heads)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
