@@ -43,9 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--watch_dir", type=str, required=True,
                    help="Directory to watch for input images")
     p.add_argument("--output_dir", type=str, required=True)
-    p.add_argument("--batch_images", type=int, default=4,
+    p.add_argument("--batch_images", type=int, default=3,
                    help="Images per fused batch (NI); the denoise batch is "
-                        "NI*ensemble rows")
+                        "NI*ensemble rows. Default 3 is the measured v5e "
+                        "optimum for the 768px E=10 protocols (NI=4 is "
+                        "slower for depth and OOMs for normals; E=1 IID "
+                        "at 640px prefers ~16 — docs/PERFORMANCE.md)")
     p.add_argument("--max_in_flight", type=int, default=2,
                    help="Batches processed concurrently (pipelines host "
                         "save/readback with device compute)")
