@@ -455,6 +455,24 @@ class DiffusionCore:
     # -------------------------------------------------------------- #
     # batched multi-image serving: N images x E members in one program
 
+    @staticmethod
+    def decode_chunking(total: int, crop_hw: tuple, mode: str,
+                        n_targets: int) -> tuple:
+        """(n_chunks, rows_per_chunk) for the decode stage. The decoder's
+        activations cap its batch (~20 decoded 768px images on v5e); the
+        cap scales inversely with output pixels, and IID decodes
+        n_targets latent groups per row with no data dependence between
+        them, so XLA overlaps their activations — the cap counts decoded
+        IMAGES (rows x n_targets), not rows (measured: a 24-row 640px
+        3-target chunk compiled to 21.1 GB HBM and OOMed). Chunks are
+        balanced (ceil split) so padding never exceeds n_chunks-1 rows."""
+        px = max(crop_hw[0] * crop_hw[1], 1)
+        if mode == "iid":
+            px *= max(n_targets, 1)
+        dec_cap = max(1, int(20 * (768 * 768) / px))
+        n_dec = -(-total // min(dec_cap, total))
+        return n_dec, -(-total // n_dec)
+
     def _build_batch_fn(self, num_steps: int, ensemble_size: int, chunk: int,
                         mode: str, n_targets: int, out_hw, crop_hw,
                         ensemble_opts: tuple, n_images: int,
@@ -487,22 +505,12 @@ class DiffusionCore:
         n_chunks = -(-total // chunk)
         t_pad = n_chunks * chunk
         # decode is chunked independently of the denoise batch: the
-        # decoder's activations cap its batch (~20 rows at 768px on v5e),
-        # while the denoise batch can grow to amortize fixed costs — the
-        # handoff is tiny latents, not decoded images. The row cap scales
-        # inversely with output pixels (a 1024px decode carries ~1.78x
-        # the per-row activations the 20-row cap was measured at). Chunks
-        # are balanced (ceil split) so padding never exceeds n_dec-1 rows.
-        # IID decodes n_targets latent groups per row; the decodes carry
-        # no data dependence so XLA overlaps their activations — the cap
-        # is per decoded image, not per row (measured: a 24-row 640px
-        # 3-target chunk compiled to 21.1 GB HBM and OOMed).
-        px = max(crop_hw[0] * crop_hw[1], 1)
-        if mode == "iid":
-            px *= max(n_targets, 1)
-        dec_cap = max(1, int(20 * (768 * 768) / px))
-        n_dec = -(-total // min(dec_cap, total))
-        dec_chunk = -(-total // n_dec)
+        # decoder's activations cap its batch, while the denoise batch
+        # can grow to amortize fixed costs — the handoff is tiny
+        # latents, not decoded images (sizing: decode_chunking above)
+        n_dec, dec_chunk = self.decode_chunking(
+            total, crop_hw, mode, n_targets
+        )
         d_pad = n_dec * dec_chunk
         ens_kwargs = dict(ensemble_opts)
 

@@ -329,3 +329,24 @@ def test_iid_compact_readback_matches_float(iid_ckpt, rng):
             np.testing.assert_allclose(
                 eb.array, ea.array, atol=1.01 / 65535
             )
+
+
+def test_decode_chunking_counts_decoded_images():
+    """The decode-stage chunk cap must count decoded IMAGES, not rows:
+    IID decodes n_targets latent groups per row and XLA overlaps their
+    activations (a 24-row 640px 3-target chunk compiled to 21.1 GB HBM
+    and OOMed on v5e)."""
+    from marigold_tpu.pipelines.base import DiffusionCore
+
+    # depth at 768px: cap 20 rows -> 40 rows split in 2
+    assert DiffusionCore.decode_chunking(40, (768, 768), "depth", 1) == (2, 20)
+    # iid 3-target at 640px: cap is 28 decoded images -> 9 rows; the
+    # 24-row OOM geometry must split (not run as one chunk)
+    n_dec, rows = DiffusionCore.decode_chunking(24, (640, 640), "iid", 3)
+    assert rows * 3 <= 28 and n_dec * rows >= 24
+    # 16-row serving geometry: 2 chunks of 8
+    assert DiffusionCore.decode_chunking(16, (640, 640), "iid", 3) == (2, 8)
+    # normals at 768px behaves like depth (single decode per row)
+    assert DiffusionCore.decode_chunking(30, (768, 768), "normals", 1) == (2, 15)
+    # tiny totals never produce empty chunks
+    assert DiffusionCore.decode_chunking(1, (768, 768), "iid", 3) == (1, 1)
