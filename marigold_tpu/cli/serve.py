@@ -263,8 +263,21 @@ def _start_http_server(port: int, inbox, stats: dict, timeout_s: float,
                 self._reply(400, b"bad Content-Length", "text/plain")
                 return
             if n > max_body_bytes:
-                # body is left unread: close the connection so the bytes
-                # can't be misparsed as a follow-up request
+                # Drain (without storing) up to 2x the cap into a fixed
+                # scratch before replying: if we close with the client
+                # mid-send, its write fails ECONNRESET and it sees a
+                # connection error instead of the 413 (urllib sends the
+                # whole body before reading the response). Past the
+                # drain bound, close anyway — a multi-GB stream should
+                # not be received just to be polite.
+                remaining = min(n, 2 * max_body_bytes)
+                while remaining > 0:
+                    got = self.rfile.read(min(remaining, 1 << 16))
+                    if not got:
+                        break
+                    remaining -= len(got)
+                # any undrained bytes must not be misparsed as a
+                # follow-up request
                 self.close_connection = True
                 self._reply(
                     413,
