@@ -109,14 +109,19 @@ def main():
     # at <=20 rows). Inputs upload as uint8 and normalize on device — 4x
     # less host->device traffic, which was the steady-state pipeline
     # bubble.
-    # NI sweep (repeated runs, v5e): 2 -> 0.729, 3 -> 0.815-0.820,
-    # 4 -> 0.775, 6 -> slower. NI=3 (30-row denoise, 2x15-row decode
-    # chunks) is the measured optimum: the 40-row batch sits at the HBM
-    # edge and schedules worse. (r1's "NI=3 compile OOM" was the old
-    # monolithic program; the decoupled denoise/decode structure fixed
-    # it, but NI=3 was never re-tried until round 3 of the continuous
-    # build.)
+    # Geometry sweep (repeated runs, v5e), NI x denoise-chunk:
+    #   NI=2/c20 0.729 | NI=3/c30 0.815-0.820 | NI=4/c40 0.775-0.776
+    #   NI=4/c20 0.748 | NI=6/c30 0.770
+    # NI=3 with one 30-row denoise chunk (2x15-row decode chunks) is the
+    # optimum: the 40-row batch sits at the HBM edge and schedules
+    # worse, and splitting the denoise into multiple lax.map chunks
+    # costs more in per-chunk fixed work than it buys in HBM headroom.
+    # (r1's "NI=3 compile OOM" was the old monolithic program; the
+    # decoupled denoise/decode structure fixed it, but NI=3 was never
+    # re-tried until round 3 of the continuous build.)
     NI = int(os.environ.get("MARIGOLD_BENCH_NI", "3"))
+    # denoise chunk rows (<= NI*ENSEMBLE; lax.map iterates the chunks)
+    CHUNK = int(os.environ.get("MARIGOLD_BENCH_CHUNK", str(NI * ENSEMBLE)))
     imgs = [img] + [
         rng.integers(0, 255, (RES, RES, 3), dtype=np.uint8)
         for _ in range(NI - 1)
@@ -132,7 +137,7 @@ def main():
     # serving outputs carry — for 4x less tunnel traffic)
     pred, unc = pipe._infer_fused_batch(
         rgb_stack, denoising_steps=STEPS, ensemble_size=ENSEMBLE,
-        batch_size=NI * ENSEMBLE, seed=1234, out_hw=(RES, RES), sync=True,
+        batch_size=CHUNK, seed=1234, out_hw=(RES, RES), sync=True,
         compact_output=True,
     )
     assert pred.shape[1:3] == (RES, RES)
@@ -146,7 +151,7 @@ def main():
     for i in range(n_iter):
         pred, unc = pipe._infer_fused_batch(
             rgb_stack, denoising_steps=STEPS, ensemble_size=ENSEMBLE,
-            batch_size=NI * ENSEMBLE, seed=1234 + i,
+            batch_size=CHUNK, seed=1234 + i,
             out_hw=(RES, RES), sync=False, compact_output=True,
         )
         in_flight.append((pred, unc))
