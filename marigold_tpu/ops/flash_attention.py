@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -257,11 +258,15 @@ def flash_attention_dt(
     qt: jax.Array,
     kt: jax.Array,
     vt: jax.Array,
-    # v5e sweep at [100, 64, 9216]: q2304/k512 won (26.3 ms incl. fold
-    # transposes vs 38.2 for the padded layout); block_q is clamped to the
+    # v5e sweeps: q2304 won at [100, 64, 9216] (vs the padded layout's
+    # 38.2 ms); block_k=None auto-selects per sequence length — at the
+    # NI=3 serving shape [150, 64, 9216], k1024 measured 29.0 ms/call vs
+    # k512's 30.8 (-5.7%), but k1024 pads level-1's N=2304 to 3072, so
+    # the auto rule prefers the largest of {1024, 768, 512} that divides
+    # the padded row (see _auto_block_k). block_q is clamped to the
     # padded sequence for shorter rows.
     block_q: int = 2304,
-    block_k: int = 512,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     softmax: str = "shifted",
 ) -> jax.Array:
@@ -286,6 +291,15 @@ _SHIFT_SAMPLE_TARGET = 128  # aim for ~128 sampled K columns per row
 _KV_RESIDENT_BYTES = 6 * 1024 * 1024  # full-K kernel if K+V rows fit this
 
 
+def _auto_block_k(nk: int) -> int:
+    """Largest of {1024, 768, 512} whose padding of nk is smallest (ties
+    go to the larger block — fewer K iterations per q block; measured
+    -5.7% at [150, 64, 9216] for 1024 over 512 on v5e). Keeps level-1's
+    N=2304 on 768 (exact) instead of padding 33% to 3072."""
+    cands = (1024, 768, 512)
+    return min(cands, key=lambda b: (_round_up(nk, b), -b))
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret", "softmax")
 )
@@ -294,12 +308,14 @@ def _flash_dt_impl(
     kt: jax.Array,
     vt: jax.Array,
     block_q: int = 2304,
-    block_k: int = 512,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     softmax: str = "shifted",
 ) -> jax.Array:
     bh, d, nq = qt.shape
     nk = kt.shape[2]
+    if block_k is None:
+        block_k = _auto_block_k(nk)
     scale = 1.0 / math.sqrt(d)
 
     block_q = min(block_q, _round_up(nq, 128))
@@ -319,7 +335,13 @@ def _flash_dt_impl(
         kv_bytes = 2 * d * nk_pad * qt.dtype.itemsize
         k_resident = kv_bytes <= _KV_RESIDENT_BYTES
         if not k_resident:
+            # wide-head K-blocked variant: tuned (and measured) at
+            # q512/k512 — keep auto-selection from widening its K blocks
             block_q = min(block_q, 512)
+            block_k = min(block_k, 512)
+            nk_pad = _round_up(nk, block_k)
+            kp = jnp.pad(kt, ((0, 0), (0, 0), (0, nk_pad - nk)))
+            vp = jnp.pad(vt, ((0, 0), (0, 0), (0, nk_pad - nk)))
             nq_pad = _round_up(nq, block_q)
             qp = jnp.pad(qt, ((0, 0), (0, 0), (0, nq_pad - nq)))
 

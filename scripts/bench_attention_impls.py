@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, H, N, D = 20, 5, 9216, 64
+B = int(os.environ.get("ATTN_BENCH_B", "20"))
+H, N, D = 5, 9216, 64
 USEFUL = 4 * B * H * N * N * D
 
 
@@ -64,7 +65,8 @@ def main():
                      (512, 2304), (2304, 512)]:
         impls[f"ours_dt_q{bq}k{bk}"] = make_dt(bq, bk)
     # shifted softmax (the serving default): no online max / rescale
-    for (bq, bk) in [(2304, 512), (2304, 1024), (4608, 512)]:
+    for (bq, bk) in [(2304, 512), (2304, 1024), (2304, 768), (2304, 1152),
+                     (2304, 1536)]:
         impls[f"ours_dtS_q{bq}k{bk}"] = make_dt(bq, bk, softmax="shifted")
 
     # warm up (compile) everything

@@ -377,3 +377,28 @@ def test_self_attention_projected_matches_fallback(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+def test_auto_block_k_prefers_divisors():
+    from marigold_tpu.ops.flash_attention import _auto_block_k
+
+    assert _auto_block_k(9216) == 1024   # level-0: exact, fewer K iters
+    assert _auto_block_k(2304) == 768    # level-1: exact (512 would pad)
+    assert _auto_block_k(576) == 768     # least padding wins (768 > 576
+    # pads less than 1024); the impl then clamps block_k to the padded row
+
+
+def test_flash_dt_auto_block_matches_explicit(rng):
+    """block_k=None (auto) must be numerically identical to an explicit
+    block size at a non-divisible length."""
+    from marigold_tpu.ops.flash_attention import flash_attention_dt
+
+    bh, d, n = 2, 16, 300
+    qt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    kt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    auto = flash_attention_dt(qt, kt, vt, block_q=128, interpret=True)
+    explicit = flash_attention_dt(qt, kt, vt, block_q=128, block_k=128,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(explicit),
+                               atol=2e-6, rtol=1e-5)
