@@ -228,6 +228,11 @@ def _start_http_server(port: int, inbox, stats: dict, timeout_s: float,
     from PIL import Image
 
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout: bounds every rfile read (incl. the 413 drain
+        # loop below) so a client that advertises a huge Content-Length
+        # and then stalls cannot hold a handler thread forever.
+        timeout = 30.0
+
         def log_message(self, fmt, *a):  # route through logging, not stderr
             logging.debug("http: " + fmt, *a)
 

@@ -166,7 +166,15 @@ def self_attention_projected(
     a_out = attn_params["to_out"]["0"]
 
     use_projected = (
-        _PROJECTED_ATTN and spatial_axis is None and use_flash(n, n)
+        _PROJECTED_ATTN
+        and spatial_axis is None
+        and use_flash(n, n)
+        # proj_t reads only ['weight'] — fall back rather than silently
+        # dropping Q/K/V biases if a checkpoint ever carries them (SD2
+        # ships bias=False attention projections today)
+        and not any(
+            "bias" in attn_params[k] for k in ("to_q", "to_k", "to_v")
+        )
     )
     if use_projected:
         from marigold_tpu.ops.flash_attention import (

@@ -315,7 +315,11 @@ def _flash_dt_impl(
     bh, d, nq = qt.shape
     nk = kt.shape[2]
     if block_k is None:
-        block_k = _auto_block_k(nk)
+        # Auto-widening to 1024/768 was validated on hardware only for the
+        # shifted kernel; the online kernel carries extra per-block state
+        # (running max + alpha rescale) so its VMEM fit/perf at wider
+        # blocks is unverified — keep its measured 512 default.
+        block_k = _auto_block_k(nk) if softmax == "shifted" else 512
     scale = 1.0 / math.sqrt(d)
 
     block_q = min(block_q, _round_up(nq, 128))

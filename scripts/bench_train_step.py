@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument(
+        "--accum", type=int, default=1,
+        help="optax.MultiSteps accumulation steps (shipped config: 16); "
+        "at 1 the eff-batch-32 extrapolation excludes MultiSteps overhead",
+    )
     args = ap.parse_args()
 
     import jax
@@ -60,7 +65,7 @@ def main():
                                               dtype=jnp.bfloat16))(k2)
     )
 
-    optimizer = make_optimizer(3e-5, None, accumulation_steps=1,
+    optimizer = make_optimizer(3e-5, None, accumulation_steps=args.accum,
                                name="adafactor")
     step = jax.jit(
         make_train_step(unet_cfg, vae_cfg, DiffusionSchedule.create(),
@@ -100,9 +105,13 @@ def main():
                 state, m = step(state, vae_params, text, batch, key)
             jax.block_until_ready(m["loss"])
             dt = (time.perf_counter() - t0) / args.steps
+            accum_note = (
+                "" if args.accum > 1
+                else ", excl. MultiSteps accum overhead — rerun --accum 16"
+            )
             print(f"bs{bs}: {dt*1e3:7.1f} ms/step  "
                   f"{dt/bs*1e3:6.1f} ms/sample  "
-                  f"(eff-batch-32 iter: {dt*32/bs:.2f}s; "
+                  f"(eff-batch-32 iter: {dt*32/bs:.2f}s{accum_note}; "
                   f"first call {compile_s:.0f}s)", flush=True)
             del state
         except Exception as e:
