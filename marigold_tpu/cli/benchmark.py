@@ -108,16 +108,22 @@ def build_parser():
                    help="Override the protocol's pinned processing "
                         "resolution (smoke tests on small models).")
     p.add_argument("--parity", action="store_true",
-                   help="reference-faithful mode: pins the two documented "
+                   help="reference-faithful mode: pins the three documented "
                         "serving-path deviations (docs/PARITY.md "
                         "'Reproduction pins') — flash softmax 'online' "
                         "(exact running-max instead of the shifted "
-                        "fast path) and ensemble reg_max_res=1024 "
-                        "(full-res range regularizer). Use for "
-                        "real-weights metric-parity runs.")
+                        "fast path), ensemble reg_max_res=1024 "
+                        "(full-res range regularizer), and "
+                        "gauge_anchor=0 (reference-exact unanchored "
+                        "alignment objective). Use for real-weights "
+                        "metric-parity runs.")
     p.add_argument("--ensemble_reg_max_res", type=int, default=None,
                    help="pin the ensemble range-regularizer solve "
                         "resolution (overrides --parity's 1024).")
+    p.add_argument("--ensemble_gauge_anchor", type=int, default=None,
+                   choices=(0, 1),
+                   help="ensemble member-0 gauge anchor (overrides "
+                        "--parity's 0; serving default 1).")
     return p
 
 
@@ -129,6 +135,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     reg_max_res = args.ensemble_reg_max_res
+    gauge_anchor = args.ensemble_gauge_anchor
     if args.parity:
         # pin the documented serving-path deviations (PARITY.md
         # 'Reproduction pins'): exact online softmax in the flash
@@ -141,6 +148,8 @@ def main(argv=None):
         set_flash_softmax("online")
         if reg_max_res is None:
             reg_max_res = 1024
+        if gauge_anchor is None:
+            gauge_anchor = 0
 
     from marigold_tpu.cli.eval import main as eval_main
     from marigold_tpu.cli.infer import main as infer_main
@@ -178,6 +187,8 @@ def main(argv=None):
         overwrite = ["--overwrite"] if args.overwrite else []
         reg = (["--ensemble_reg_max_res", str(reg_max_res)]
                if reg_max_res is not None else [])
+        if gauge_anchor is not None:
+            reg += ["--ensemble_gauge_anchor", str(gauge_anchor)]
         if not args.skip_infer:
             rc = infer_main([
                 "--modality", args.modality,

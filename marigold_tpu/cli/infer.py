@@ -46,6 +46,13 @@ def build_parser():
                              "resolution (reference-faithful: 1024; "
                              "serving default: 96 — docs/PARITY.md "
                              "'Reproduction pins').")
+    parser.add_argument("--ensemble_gauge_anchor", type=int, default=None,
+                        choices=(0, 1),
+                        help="1 (default): anchor ensemble member 0 to "
+                             "block the scale-degenerate collapse; 0: "
+                             "reference-exact unanchored objective "
+                             "(marigold/util/ensemble.py:154-173) — "
+                             "docs/PARITY.md 'Reproduction pins'.")
     parser.add_argument("--overwrite", action="store_true",
                         help="Recompute predictions that already exist "
                              "(default: skip existing files — the "
@@ -107,10 +114,13 @@ def main(argv=None):
         seed=seed,
         show_progress_bar=False,
     )
+    ens_kwargs = {}
     if args.ensemble_reg_max_res is not None:
-        common["ensemble_kwargs"] = {
-            "reg_max_res": args.ensemble_reg_max_res
-        }
+        ens_kwargs["reg_max_res"] = args.ensemble_reg_max_res
+    if args.ensemble_gauge_anchor is not None:
+        ens_kwargs["gauge_anchor"] = bool(args.ensemble_gauge_anchor)
+    if ens_kwargs:
+        common["ensemble_kwargs"] = ens_kwargs
 
     # batched-serving fast path (all modalities): group same-shape
     # consecutive samples into one fused program

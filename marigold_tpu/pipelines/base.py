@@ -44,6 +44,36 @@ logger = logging.getLogger(__name__)
 LATENT_SCALE_FACTOR = 0.18215  # reference marigold_depth_pipeline.py:118
 
 
+def _depth_ensemble_call_kwargs(ens_kwargs: dict) -> dict:
+    """Caller ensemble_kwargs merged over ensemble_depth's serving
+    defaults — ONE mapping shared by the fused builders and the
+    raw-members (reference-exact) eager path so they can never diverge."""
+    return dict(
+        scale_invariant=ens_kwargs.get("scale_invariant", True),
+        shift_invariant=ens_kwargs.get("shift_invariant", True),
+        reduction=ens_kwargs.get("reduction", "median"),
+        regularizer_strength=ens_kwargs.get("regularizer_strength", 0.02),
+        max_iter=ens_kwargs.get("max_iter", 50),
+        tol=ens_kwargs.get("tol", 1e-6),
+        max_res=ens_kwargs.get("max_res", 1024),
+        reg_max_res=ens_kwargs.get("reg_max_res", 96),
+        gauge_anchor=ens_kwargs.get("gauge_anchor", True),
+    )
+
+
+def _is_reference_ensemble(mode: str, ensemble_size: int,
+                           ens_kwargs: dict) -> bool:
+    """True when the depth ensemble must run in reference-exact mode
+    (gauge_anchor=False): the host scipy solve cannot live inside the
+    fused program (the axon TPU backend has no host callbacks), so the
+    program returns raw members and the caller ensembles eagerly."""
+    return (
+        mode == "depth"
+        and ensemble_size > 1
+        and not ens_kwargs.get("gauge_anchor", True)
+    )
+
+
 class DiffusionCore:
     """Bundles UNet+VAE+text components and exposes jitted end-to-end
     inference programs with a compile cache."""
@@ -237,6 +267,7 @@ class DiffusionCore:
         n_chunks = -(-E // chunk)
         e_pad = n_chunks * chunk
         ens_kwargs = dict(ensemble_opts)
+        raw_members = _is_reference_ensemble(mode, E, ens_kwargs)
 
         def denoise_decode(unet_params, vae_params, rgb_lat, noise, text,
                            lcm_key=None, spatial_axis=None):
@@ -388,22 +419,18 @@ class DiffusionCore:
         def _reduce(preds, mask):
             # ensemble reduce (inlined, still on device; padding excluded
             # from all statistics via the mask)
+            if raw_members:
+                # reference-exact parity mode (gauge_anchor=False): the
+                # host scipy solve cannot run inside the program — return
+                # decoded members; _infer_fused ensembles them eagerly.
+                return preds
             if E > 1:
                 if mode == "depth":
                     pred, unc = ens.ensemble_depth(
                         preds,
-                        scale_invariant=ens_kwargs.get("scale_invariant", True),
-                        shift_invariant=ens_kwargs.get("shift_invariant", True),
                         output_uncertainty=True,
-                        reduction=ens_kwargs.get("reduction", "median"),
-                        regularizer_strength=ens_kwargs.get(
-                            "regularizer_strength", 0.02
-                        ),
-                        max_iter=ens_kwargs.get("max_iter", 50),
-                        tol=ens_kwargs.get("tol", 1e-6),
-                        max_res=ens_kwargs.get("max_res", 1024),
-                        reg_max_res=ens_kwargs.get("reg_max_res", 96),
                         valid_mask=mask,
+                        **_depth_ensemble_call_kwargs(ens_kwargs),
                     )
                 elif mode == "normals":
                     pred, unc = ens.ensemble_normals(
@@ -513,6 +540,7 @@ class DiffusionCore:
         )
         d_pad = n_dec * dec_chunk
         ens_kwargs = dict(ensemble_opts)
+        raw_members = _is_reference_ensemble(mode, E, ens_kwargs)
 
         def denoise(unet_params, rgb_rows, noise, text, lcm_key=None):
             # NOTE: lcm_key must already be chunk-distinct when chunked
@@ -564,17 +592,8 @@ class DiffusionCore:
             if mode == "depth":
                 pred, unc = ens.ensemble_depth(
                     members,
-                    scale_invariant=ens_kwargs.get("scale_invariant", True),
-                    shift_invariant=ens_kwargs.get("shift_invariant", True),
                     output_uncertainty=True,
-                    reduction=ens_kwargs.get("reduction", "median"),
-                    regularizer_strength=ens_kwargs.get(
-                        "regularizer_strength", 0.02
-                    ),
-                    max_iter=ens_kwargs.get("max_iter", 50),
-                    tol=ens_kwargs.get("tol", 1e-6),
-                    max_res=ens_kwargs.get("max_res", 1024),
-                    reg_max_res=ens_kwargs.get("reg_max_res", 96),
+                    **_depth_ensemble_call_kwargs(ens_kwargs),
                 )
             elif mode == "normals":
                 pred, unc = ens.ensemble_normals(
@@ -639,6 +658,12 @@ class DiffusionCore:
                 preds = preds.reshape((d_pad,) + preds.shape[2:])
             preds = preds[:total, : crop_hw[0], : crop_hw[1], :]
             preds = preds.reshape((NI, E) + preds.shape[1:])
+            if raw_members:
+                # reference-exact parity mode (gauge_anchor=False): the
+                # host scipy solve cannot run inside the program — return
+                # cropped members; _infer_fused_batch ensembles eagerly
+                # (and handles out_hw resize / compact_output on host).
+                return preds
 
             pred, unc = jax.lax.map(reduce_one, preds)  # [NI,h,w,C]
             if out_hw is not None and out_hw != crop_hw:
@@ -900,6 +925,7 @@ class BasePipeline:
         chunk = min(batch_size, ensemble_size)
 
         opts = tuple(sorted((ensemble_kwargs or {}).items()))
+        merged = dict(ensemble_kwargs or {})
         if self.mode == "depth":
             merged = dict(
                 scale_invariant=self.scale_invariant,
@@ -913,12 +939,30 @@ class BasePipeline:
             self.n_targets, opts, spatial=spatial,
         )
         key = self._noise_key(seed)
-        pred, unc = fn(
-            core.unet_params, core.vae_params, jnp.asarray(x),
-            jnp.asarray(mask), key, core.empty_text_embed,
-        )
-        pred_np = np.asarray(jax.device_get(pred))[0, :h0, :w0]
-        unc_np = np.asarray(jax.device_get(unc))[0, :h0, :w0]
+        if _is_reference_ensemble(self.mode, ensemble_size, merged):
+            # reference-exact parity mode: the program returns raw decoded
+            # members; crop the padding off (so no mask is needed) and run
+            # the eager host-solve ensemble (ensemble.py gauge_anchor=False)
+            from marigold_tpu.pipelines import ensemble as ens
+
+            members = fn(
+                core.unet_params, core.vae_params, jnp.asarray(x),
+                jnp.asarray(mask), key, core.empty_text_embed,
+            )  # [E,hp,wp,1]
+            pred, unc = ens.ensemble_depth(
+                members[:, :h0, :w0],
+                output_uncertainty=True,
+                **_depth_ensemble_call_kwargs(merged),
+            )
+            pred_np = np.asarray(jax.device_get(pred))[0]
+            unc_np = np.asarray(jax.device_get(unc))[0]
+        else:
+            pred, unc = fn(
+                core.unet_params, core.vae_params, jnp.asarray(x),
+                jnp.asarray(mask), key, core.empty_text_embed,
+            )
+            pred_np = np.asarray(jax.device_get(pred))[0, :h0, :w0]
+            unc_np = np.asarray(jax.device_get(unc))[0, :h0, :w0]
 
         if out_hw is not None and out_hw != (h0, w0):
             pred_np = image_util.resize_host(pred_np, out_hw, resample_method)
@@ -1056,6 +1100,7 @@ class BasePipeline:
         chunk = min(batch_size, ni * ensemble_size)
 
         opts = tuple(sorted((ensemble_kwargs or {}).items()))
+        merged = dict(ensemble_kwargs or {})
         if self.mode == "depth":
             merged = dict(
                 scale_invariant=self.scale_invariant,
@@ -1071,10 +1116,50 @@ class BasePipeline:
             compact_output=compact, resample_method=resample_method,
         )
         key = self._noise_key(seed)
-        pred, unc = fn(
-            core.unet_params, core.vae_params, jnp.asarray(x), key,
-            core.empty_text_embed,
-        )
+        if _is_reference_ensemble(self.mode, ensemble_size, merged):
+            # reference-exact parity mode: the program returns cropped raw
+            # members [NI,E,h,w,1]; ensemble eagerly per image (host scipy
+            # solve), then reproduce the fused tail's out_hw resize and
+            # compact quantization on host. Host resize is the
+            # reference-exact one (torch-parity, tests/test_resize_parity)
+            # — the throughput path resizes on device instead.
+            from marigold_tpu.pipelines import ensemble as ens
+
+            members = fn(
+                core.unet_params, core.vae_params, jnp.asarray(x), key,
+                core.empty_text_embed,
+            )
+            kw = _depth_ensemble_call_kwargs(merged)
+            preds, uncs = [], []
+            for i in range(ni):
+                p, u = ens.ensemble_depth(
+                    members[i], output_uncertainty=True, **kw
+                )
+                preds.append(np.asarray(jax.device_get(p))[0])
+                uncs.append(np.asarray(jax.device_get(u))[0])
+            pred = np.stack(preds).astype(np.float32)
+            unc = np.stack(uncs).astype(np.float32)
+            if out_hw is not None and out_hw != (h0, w0):
+                pred = np.stack([
+                    image_util.resize_host(p, out_hw, resample_method)
+                    for p in pred
+                ])
+                unc = np.stack([
+                    image_util.resize_host(u, out_hw, resample_method)
+                    for u in unc
+                ])
+            if compact:
+                pred = np.round(
+                    np.clip(pred, 0.0, 1.0) * 65535.0
+                ).astype(np.uint16)
+                unc = np.round(
+                    np.clip(unc, 0.0, 1.0) * 65535.0
+                ).astype(np.uint16)
+        else:
+            pred, unc = fn(
+                core.unet_params, core.vae_params, jnp.asarray(x), key,
+                core.empty_text_embed,
+            )
         if not sync:
             return pred, (unc if ensemble_size > 1 else None)
         pred_np = np.asarray(jax.device_get(pred)).astype(np.float32)

@@ -18,6 +18,13 @@ the pipeline. Here the same cost is minimized **on device** with
 static shapes), so the whole pipeline stays one XLA program. Median matches
 torch semantics (lower median for even counts).
 
+`gauge_anchor=False` is the reference-exact parity mode: the solve runs on
+HOST scipy, exactly like the reference, structured as three phases (jitted
+downsample/init -> host scipy BFGS -> jitted apply/reduce). It cannot be a
+`jax.pure_callback` inside the fused program because the axon TPU backend
+has no host send/recv callbacks; the fused pipelines instead emit raw
+members and call this module eagerly (pipelines/base.py raw-members mode).
+
 Layout: members on the leading axis, NHWC spatial layout — [E, H, W, C].
 """
 
@@ -25,6 +32,8 @@ from __future__ import annotations
 
 import functools
 from typing import Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +81,289 @@ def _downsample_nearest_max_res(x: jax.Array, max_res: int) -> jax.Array:
     return jax.image.resize(x, (e, nh, nw, c), method="nearest")
 
 
+def _init_alignment(flat, m_flat, affine):
+    """Init scale/shift from per-member valid ranges (the reference's
+    init_param, ensemble.py:95-116). Returns (x0, init_s, init_t)."""
+    if m_flat is not None:
+        big = jnp.asarray(jnp.inf, flat.dtype)
+        init_min = jnp.min(jnp.where(m_flat > 0, flat, big), axis=1)
+        init_max = jnp.max(jnp.where(m_flat > 0, flat, -big), axis=1)
+    else:
+        init_min = jnp.min(flat, axis=1)
+        init_max = jnp.max(flat, axis=1)
+    if affine:
+        init_s = 1.0 / jnp.clip(init_max - init_min, 1e-6, None)
+        init_t = -init_s * init_min
+        return jnp.concatenate([init_s, init_t]), init_s, init_t
+    init_s = 1.0 / jnp.clip(init_max, 1e-6, None)
+    return init_s, init_s, None
+
+
+def _apply_align(d, param, E, scale_invariant, shift_invariant):
+    if scale_invariant and shift_invariant:
+        s, t = param[:E], param[E:]
+        return d * s.reshape(E, 1, 1, 1) + t.reshape(E, 1, 1, 1)
+    elif scale_invariant:
+        return d * param.reshape(E, 1, 1, 1)
+    return d
+
+
+def _finalize(pred, uncertainty, mask, scale_invariant, shift_invariant,
+              output_uncertainty):
+    """Final renormalization to [0,1] (reference ensemble.py:185-192),
+    restricted to valid pixels when a mask is present."""
+    if not (scale_invariant or shift_invariant):
+        # metric depth: members are already in a common absolute frame
+        # (no alignment ran), and renormalizing to [0,1] would destroy
+        # the scale the caller asked to preserve. (The reference rejects
+        # this combination outright, ensemble.py:63-70; accepting it with
+        # values passed through is this framework's documented extension
+        # for pre-aligned members.)
+        return pred, uncertainty
+    if mask is not None:
+        big = jnp.asarray(jnp.inf, pred.dtype)
+        d_max = jnp.max(jnp.where(mask, pred, -big))
+        d_min = (
+            jnp.min(jnp.where(mask, pred, big))
+            if (scale_invariant and shift_invariant) else 0.0
+        )
+    else:
+        d_max = jnp.max(pred)
+        d_min = jnp.min(pred) if (scale_invariant and shift_invariant) else 0.0
+    d_range = jnp.clip(d_max - d_min, 1e-6, None)
+    pred = (pred - d_min) / d_range
+    if output_uncertainty:
+        uncertainty = uncertainty / d_range
+    return pred, uncertainty
+
+
+def _validate_depth_args(depth, reduction, scale_invariant, shift_invariant):
+    if depth.ndim != 4 or depth.shape[-1] != 1:
+        raise ValueError(f"Expecting [E,H,W,1]; got {depth.shape}.")
+    if reduction not in ("mean", "median"):
+        raise ValueError(f"Unrecognized reduction method: {reduction}.")
+    if not scale_invariant and shift_invariant:
+        raise ValueError("Pure shift-invariant ensembling is not supported.")
+
+
+# ------------------------------------------------------------------ #
+# reference-exact mode (gauge_anchor=False): host scipy solve
+
+
+def reference_alignment_solve(
+    small: np.ndarray,
+    m_small: Optional[np.ndarray],
+    x0: np.ndarray,
+    *,
+    affine: bool,
+    reduction: str,
+    regularizer_strength: float,
+    max_iter: int,
+    tol: float,
+) -> np.ndarray:
+    """Reference-exact alignment solve on HOST: the FULL unanchored
+    objective minimized by scipy BFGS — float64 parameter vector,
+    finite-difference gradients over an fp32 cost — exactly the
+    reference's solver semantics (marigold/util/ensemble.py:139-173:
+    fp32 maps, per-pair RMS accumulated into a python float, fp64
+    params, `tol`/`maxiter` passed straight to scipy). The regularizer
+    is evaluated on the same downsampled maps as the pairwise term,
+    as the reference does (ensemble.py:146-161). Pure numpy in/out; the
+    jitted phases around it live in `ensemble_depth`'s reference path.
+
+    `m_small` (float {0,1} mask, any broadcastable shape, or None)
+    restricts every statistic to valid pixels — our shape-bucketing
+    extension; the reference has no padding so None is reference-exact.
+    """
+    import scipy.optimize
+
+    E = small.shape[0]
+    d = np.asarray(small, np.float32).reshape(E, -1)
+    if m_small is not None:
+        valid = np.asarray(m_small).reshape(-1) > 0
+        if not valid.all():
+            d = d[:, valid]
+    iu, ju = np.triu_indices(E, k=1)
+
+    def cost(param):
+        if affine:
+            s = param[:E].astype(np.float32)
+            t = param[E:].astype(np.float32)
+        else:
+            s = param.astype(np.float32)
+            t = np.zeros(E, np.float32)
+        a = d * s[:, None] + t[:, None]
+        diff = a[iu] - a[ju]
+        c = float(np.sum(np.sqrt(
+            np.mean(diff * diff, axis=1, dtype=np.float32))))
+        if regularizer_strength > 0:
+            if reduction == "median":
+                pred = np.sort(a, axis=0)[(E - 1) // 2]
+            else:
+                pred = np.mean(a, axis=0)
+            c += (abs(float(pred.min()))
+                  + abs(1.0 - float(pred.max()))) * regularizer_strength
+        return c
+
+    res = scipy.optimize.minimize(
+        cost, np.asarray(x0, np.float64), method="BFGS", tol=tol,
+        options={"maxiter": max_iter, "disp": False},
+    )
+    # the reference uses res.x unconditionally; guard only
+    # non-finite values (which would poison the whole map).
+    x = np.where(np.isfinite(res.x), res.x, np.asarray(x0, np.float64))
+    return x.astype(np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale_invariant", "shift_invariant", "max_res"),
+)
+def _reference_solve_inputs(depth, valid_mask=None, *, scale_invariant=True,
+                            shift_invariant=True, max_res=1024):
+    """Traceable prefix of the reference solve: nearest downsample + init
+    params. Returns (small [E,hs,ws,1], m_small or None, x0)."""
+    depth = depth.astype(jnp.float32)
+    E = depth.shape[0]
+    small = _downsample_nearest_max_res(depth, max_res)
+    m_small = None
+    if valid_mask is not None:
+        mask = jnp.broadcast_to(
+            valid_mask.astype(bool), (1,) + depth.shape[1:]
+        )
+        m_small = _downsample_nearest_max_res(
+            mask.astype(jnp.float32), max_res
+        )
+    flat = small.reshape(E, -1)
+    m_flat = m_small.reshape(1, -1) if m_small is not None else None
+    affine = scale_invariant and shift_invariant
+    x0, _, _ = _init_alignment(flat, m_flat, affine)
+    return small, m_small, x0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale_invariant", "shift_invariant", "reduction",
+        "output_uncertainty",
+    ),
+)
+def _reference_apply_reduce(depth, param, valid_mask=None, *,
+                            scale_invariant, shift_invariant, reduction,
+                            output_uncertainty):
+    """Traceable suffix of the reference solve: apply the host-solved
+    alignment, reduce, renormalize."""
+    depth = depth.astype(jnp.float32)
+    E = depth.shape[0]
+    mask = None
+    if valid_mask is not None:
+        mask = jnp.broadcast_to(
+            valid_mask.astype(bool), (1,) + depth.shape[1:]
+        )
+    depth = _apply_align(depth, param, E, scale_invariant, shift_invariant)
+    pred, uncertainty = _reduce(depth, reduction, output_uncertainty)
+    return _finalize(pred, uncertainty, mask, scale_invariant,
+                     shift_invariant, output_uncertainty)
+
+
+# ------------------------------------------------------------------ #
+# depth ensembling
+
+
+def ensemble_depth(
+    depth: jax.Array,
+    scale_invariant: bool = True,
+    shift_invariant: bool = True,
+    output_uncertainty: bool = False,
+    reduction: str = "median",
+    regularizer_strength: float = 0.02,
+    max_iter: int = 50,
+    tol: float = 1e-6,
+    max_res: int = 1024,
+    reg_max_res: int = 96,
+    gauge_anchor: bool = True,
+    valid_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Align+reduce an ensemble of depth maps. `depth`: [E, H, W, 1] in [0,1].
+
+    `valid_mask` ([1,H,W,1] bool, optional) excludes pixels — e.g. the
+    padding introduced by shape bucketing — from every alignment statistic
+    (init ranges, Gram moments, regularizer, final renormalization); masked
+    pixels still receive (meaningless) reduced values, to be cropped by the
+    caller.
+
+    `gauge_anchor=True` (serving default) solves the alignment on device
+    with member 0 anchored at its init parameters — see the gauge-fixing
+    note inside `_ensemble_depth_anchored`. `gauge_anchor=False` is the
+    reference-exact parity mode: the FULL unanchored objective solved by
+    HOST scipy BFGS in float64 with finite-difference gradients — the
+    reference's actual solver (marigold/util/ensemble.py:154-173) — so a
+    real-protocol metric delta can be attributed to the anchor in one A/B.
+    The reference's shipped behavior on this gauge-degenerate landscape is
+    a property of that exact solver (fp64 line search, finite-diff
+    gradients, maxiter budget); on-device fp32 BFGS lands on different
+    optima of the same cost (measured: 2-6x the cost on stalls, or
+    better-metric/worse-cost optima with restarts) — faithful reproduction
+    means running the real thing. It runs as three phases (jitted prep ->
+    host scipy -> jitted apply/reduce), because the axon TPU backend has no
+    host callbacks: it therefore needs CONCRETE arrays and raises inside a
+    traced program (the fused pipelines route around it via raw-members
+    mode, pipelines/base.py). In this mode the range regularizer is
+    evaluated on the max_res-downsampled maps like the reference
+    (`reg_max_res` has no effect). Pinned under `benchmark --parity`.
+
+    Returns ([1,H,W,1] in [0,1], uncertainty [1,H,W,1] or None).
+    """
+    _validate_depth_args(depth, reduction, scale_invariant, shift_invariant)
+    E = depth.shape[0]
+    requires_aligning = scale_invariant or shift_invariant
+    if gauge_anchor or E <= 1 or not requires_aligning:
+        return _ensemble_depth_anchored(
+            depth,
+            scale_invariant=scale_invariant,
+            shift_invariant=shift_invariant,
+            output_uncertainty=output_uncertainty,
+            reduction=reduction,
+            regularizer_strength=regularizer_strength,
+            max_iter=max_iter,
+            tol=tol,
+            max_res=max_res,
+            reg_max_res=reg_max_res,
+            valid_mask=valid_mask,
+        )
+    if isinstance(depth, jax.core.Tracer):
+        raise RuntimeError(
+            "ensemble_depth(gauge_anchor=False) is the reference-exact "
+            "HOST-solve mode and cannot run inside a traced program (the "
+            "axon TPU backend has no host callbacks). Call it eagerly on "
+            "concrete arrays — the fused pipelines do this automatically "
+            "via raw-members mode (pipelines/base.py)."
+        )
+    small, m_small, x0 = _reference_solve_inputs(
+        depth, valid_mask,
+        scale_invariant=scale_invariant,
+        shift_invariant=shift_invariant,
+        max_res=max_res,
+    )
+    param = reference_alignment_solve(
+        np.asarray(jax.device_get(small)),
+        np.asarray(jax.device_get(m_small)) if m_small is not None else None,
+        np.asarray(jax.device_get(x0)),
+        affine=scale_invariant and shift_invariant,
+        reduction=reduction,
+        regularizer_strength=regularizer_strength,
+        max_iter=max_iter,
+        tol=tol,
+    )
+    return _reference_apply_reduce(
+        depth, jnp.asarray(param), valid_mask,
+        scale_invariant=scale_invariant,
+        shift_invariant=shift_invariant,
+        reduction=reduction,
+        output_uncertainty=output_uncertainty,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -86,7 +378,7 @@ def _downsample_nearest_max_res(x: jax.Array, max_res: int) -> jax.Array:
         "reg_max_res",
     ),
 )
-def ensemble_depth(
+def _ensemble_depth_anchored(
     depth: jax.Array,
     scale_invariant: bool = True,
     shift_invariant: bool = True,
@@ -99,34 +391,13 @@ def ensemble_depth(
     reg_max_res: int = 96,
     valid_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Align+reduce an ensemble of depth maps. `depth`: [E, H, W, 1] in [0,1].
-
-    `valid_mask` ([1,H,W,1] bool, optional) excludes pixels — e.g. the
-    padding introduced by shape bucketing — from every alignment statistic
-    (init ranges, Gram moments, regularizer, final renormalization); masked
-    pixels still receive (meaningless) reduced values, to be cropped by the
-    caller.
-
-    Returns ([1,H,W,1] in [0,1], uncertainty [1,H,W,1] or None).
-    """
-    if depth.ndim != 4 or depth.shape[-1] != 1:
-        raise ValueError(f"Expecting [E,H,W,1]; got {depth.shape}.")
-    if reduction not in ("mean", "median"):
-        raise ValueError(f"Unrecognized reduction method: {reduction}.")
-    if not scale_invariant and shift_invariant:
-        raise ValueError("Pure shift-invariant ensembling is not supported.")
-
+    """On-device align+reduce (the serving path): one XLA program, member-0
+    gauge anchor, Gram-statistics pairwise cost. See `ensemble_depth`."""
+    _validate_depth_args(depth, reduction, scale_invariant, shift_invariant)
     E = depth.shape[0]
     depth = depth.astype(jnp.float32)
     requires_aligning = scale_invariant or shift_invariant
-
-    def apply_align(d, param):
-        if scale_invariant and shift_invariant:
-            s, t = param[:E], param[E:]
-            return d * s.reshape(E, 1, 1, 1) + t.reshape(E, 1, 1, 1)
-        elif scale_invariant:
-            return d * param.reshape(E, 1, 1, 1)
-        return d
+    affine = scale_invariant and shift_invariant
 
     mask = None
     if valid_mask is not None:
@@ -142,23 +413,8 @@ def ensemble_depth(
         )
 
         flat = small.reshape(E, -1)
-        if m_small is not None:
-            m_flat = m_small.reshape(1, -1)  # float {0,1}, same for all E
-            n_valid = jnp.clip(jnp.sum(m_flat), 1.0, None)
-            big = jnp.asarray(jnp.inf, flat.dtype)
-            init_min = jnp.min(jnp.where(m_flat > 0, flat, big), axis=1)
-            init_max = jnp.max(jnp.where(m_flat > 0, flat, -big), axis=1)
-        else:
-            init_min = jnp.min(flat, axis=1)
-            init_max = jnp.max(flat, axis=1)
-        affine = scale_invariant and shift_invariant
-        if affine:
-            init_s = 1.0 / jnp.clip(init_max - init_min, 1e-6, None)
-            init_t = -init_s * init_min
-            x0 = jnp.concatenate([init_s, init_t])
-        else:
-            init_s = 1.0 / jnp.clip(init_max, 1e-6, None)
-            x0 = init_s
+        m_flat = m_small.reshape(1, -1) if m_small is not None else None
+        x0, init_s, init_t = _init_alignment(flat, m_flat, affine)
 
         # Gauge fixing: the reference's objective is scale-degenerate —
         # uniformly shrinking every (s, t) toward 0 drives the pairwise term
@@ -167,7 +423,9 @@ def ensemble_depth(
         # on TPU the fp32 line-search happily finds it). We remove the
         # degenerate direction by ANCHORING member 0 at its init parameters
         # and optimizing only members 1..E-1 — same pairwise objective,
-        # collapse impossible by construction.
+        # collapse impossible by construction. (`ensemble_depth` with
+        # gauge_anchor=False reproduces the reference's unanchored host
+        # solver instead, for parity attribution.)
         if affine:
             def to_full(free):
                 s = jnp.concatenate([init_s[:1], free[: E - 1]])
@@ -196,7 +454,8 @@ def ensemble_depth(
         # penalty) still needs real maps; it is evaluated on a <=256px
         # nearest-downsampled copy — it only nudges the solution at 0.02
         # strength.
-        if m_small is not None:
+        if m_flat is not None:
+            n_valid = jnp.clip(jnp.sum(m_flat), 1.0, None)
             fm = flat * m_flat
             gram = fm @ fm.T / n_valid  # [E,E] over valid pixels only
             mean_d = jnp.sum(fm, axis=1) / n_valid  # [E]
@@ -221,6 +480,9 @@ def ensemble_depth(
             _downsample_nearest_max_res(m_small, reg_max_res) > 0
             if m_small is not None else None
         )
+
+        def apply_align(d, param):
+            return _apply_align(d, param, E, scale_invariant, shift_invariant)
 
         def cost_fn(param):
             if affine:
@@ -262,32 +524,8 @@ def ensemble_depth(
         depth = apply_align(depth, param)
 
     pred, uncertainty = _reduce(depth, reduction, output_uncertainty)
-
-    if not (scale_invariant or shift_invariant):
-        # metric depth: members are already in a common absolute frame
-        # (no alignment ran), and renormalizing to [0,1] would destroy
-        # the scale the caller asked to preserve. (The reference rejects
-        # this combination outright, ensemble.py:63-70; accepting it with
-        # values passed through is this framework's documented extension
-        # for pre-aligned members.)
-        return pred, uncertainty
-
-    if mask is not None:
-        big = jnp.asarray(jnp.inf, pred.dtype)
-        d_max = jnp.max(jnp.where(mask, pred, -big))
-        d_min = (
-            jnp.min(jnp.where(mask, pred, big))
-            if (scale_invariant and shift_invariant) else 0.0
-        )
-    else:
-        d_max = jnp.max(pred)
-        d_min = jnp.min(pred) if (scale_invariant and shift_invariant) else 0.0
-    d_range = jnp.clip(d_max - d_min, 1e-6, None)
-    pred = (pred - d_min) / d_range
-    if output_uncertainty:
-        uncertainty = uncertainty / d_range
-
-    return pred, uncertainty
+    return _finalize(pred, uncertainty, mask, scale_invariant,
+                     shift_invariant, output_uncertainty)
 
 
 @functools.partial(

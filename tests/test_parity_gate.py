@@ -1,10 +1,11 @@
-"""Parity-gate tests: the `--parity` flag must actually pin the two
+"""Parity-gate tests: the `--parity` flag must actually pin the three
 documented serving-path deviations (docs/PARITY.md 'Reproduction pins')
 all the way down to the calls that implement them — the flash-attention
 softmax mode at the dispatch in ops/attention.py, and the ensemble range
-regularizer resolution at the ensemble_depth call inside the fused
-program. Reference-faithful targets: xformers exact softmax and the
-full-res regularizer (/root/reference/marigold/util/ensemble.py:146-161).
+regularizer resolution + member-0 gauge anchor at the ensemble_depth
+call inside the fused program. Reference-faithful targets: xformers
+exact softmax, the full-res regularizer, and the unanchored alignment
+objective (/root/reference/marigold/util/ensemble.py:146-173).
 """
 
 import os
@@ -109,7 +110,7 @@ def _run_benchmark(tmp_path, rng, extra, reg_spy, monkeypatch):
     real = ens.ensemble_depth
 
     def spy(preds, **kw):
-        reg_spy.append(kw.get("reg_max_res"))
+        reg_spy.append((kw.get("reg_max_res"), kw.get("gauge_anchor")))
         return real(preds, **kw)
 
     monkeypatch.setattr(ens, "ensemble_depth", spy)
@@ -133,20 +134,24 @@ def _run_benchmark(tmp_path, rng, extra, reg_spy, monkeypatch):
 def test_benchmark_parity_pins_reach_calls(tmp_path, rng, monkeypatch,
                                            restore_softmax):
     """`benchmark --parity` end-to-end: ensemble_depth must be traced with
-    reg_max_res=1024 and the attention dispatch must be in online mode."""
+    reg_max_res=1024 + gauge_anchor=False and the attention dispatch must
+    be in online mode."""
     from marigold_tpu.ops.attention import get_flash_softmax
 
     monkeypatch.setenv("MARIGOLD_TPU_FLASH_SOFTMAX", "shifted")
     reg = []
     _run_benchmark(tmp_path, rng, ["--parity"], reg, monkeypatch)
-    assert reg and all(r == 1024 for r in reg)
+    assert reg and all(r == (1024, False) for r in reg)
     assert get_flash_softmax() == "online"
     assert os.environ.get("MARIGOLD_TPU_FLASH_SOFTMAX") == "online"
 
-    # explicit --ensemble_reg_max_res beats --parity's 1024
+    # explicit --ensemble_reg_max_res / --ensemble_gauge_anchor beat
+    # --parity's 1024 / 0
     reg2 = []
     _run_benchmark(
-        tmp_path, rng, ["--parity", "--ensemble_reg_max_res", "48"],
+        tmp_path, rng,
+        ["--parity", "--ensemble_reg_max_res", "48",
+         "--ensemble_gauge_anchor", "1"],
         reg2, monkeypatch,
     )
-    assert reg2 and all(r == 48 for r in reg2)
+    assert reg2 and all(r == (48, True) for r in reg2)
