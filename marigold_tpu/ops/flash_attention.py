@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -519,21 +520,365 @@ def flash_attention(
     return out[:, :nq, :d]
 
 
+# ------------------------------------------------------------------ #
+# Training path: flash forward-with-LSE + Pallas flash backward.
+#
+# The first XLA backward (einsum recompute in 1024-row q-chunks under
+# lax.scan, kept below as the fallback) traced at 74.5 ms/step — 28% of
+# the bs2 480x640 training step — running at 3.2 TF/s: the sequential
+# scan leaves the MXU idle and shuttles [chunk, Nk] fp32 logits through
+# HBM. These kernels are the FlashAttention-2 backward tiled for the dt
+# layout: probabilities recomputed block-wise in VMEM from the forward's
+# saved logsumexp, one kernel producing dQ (grid over q blocks) and one
+# producing dK/dV (grid over k blocks), all five matmuls on the MXU with
+# no logits ever touching HBM.
+
+_LSE_PAD = 1e30  # padded-q lse: exp(st - 1e30) == 0 kills padded columns
+
+_FLASH_BWD = os.environ.get("MARIGOLD_TPU_FLASH_BWD", "pallas")
+
+
+def _flash_kernel_dt_lse(n_valid_ref, qt_ref, kt_ref, vt_ref, ot_ref,
+                         lse_ref, *, block_k: int, scale: float):
+    """Online-softmax dt kernel that also writes the per-row logsumexp of
+    the scaled logits (lse_ref: [1, block_q]) — the residual the Pallas
+    backward needs. Used only by the custom-VJP forward rule, so the
+    serving kernels above stay byte-identical."""
+    n_valid = n_valid_ref[0]
+    d, n_pad = kt_ref.shape
+    block_q = qt_ref.shape[1]
+    num_kb = n_pad // block_k
+
+    qt = qt_ref[:]
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        kt_blk = kt_ref[:, pl.ds(kb * block_k, block_k)]
+        vt_blk = vt_ref[:, pl.ds(kb * block_k, block_k)]
+        st = jax.lax.dot_general(
+            kt_blk, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 0
+        )
+        st = jnp.where(row < n_valid, st, NEG_INF)
+
+        m_cur = jnp.max(st, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(st - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            vt_blk, p.astype(qt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((d, block_q), jnp.float32)
+    m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, block_q), jnp.float32)
+    acc, m_fin, l_fin = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+
+    l_safe = jnp.maximum(l_fin, 1e-30)
+    ot_ref[:] = (acc / l_safe).astype(ot_ref.dtype)
+    lse_ref[:] = m_fin + jnp.log(l_safe)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def _flash_dt_impl_lse(qt, kt, vt, block_q=2304, block_k=512,
+                       interpret=False):
+    """Exact (online-softmax) dt flash forward returning (out, lse);
+    lse: [BH, Nq] fp32 logsumexp of the scaled logits."""
+    bh, d, nq = qt.shape
+    nk = kt.shape[2]
+    scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _round_up(nq, 128))
+    block_k = min(block_k, _round_up(nk, 128))
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+
+    qp = jnp.pad(qt, ((0, 0), (0, 0), (0, nq_pad - nq)))
+    kp = jnp.pad(kt, ((0, 0), (0, 0), (0, nk_pad - nk)))
+    vp = jnp.pad(vt, ((0, 0), (0, 0), (0, nk_pad - nk)))
+    n_valid = jnp.asarray([nk], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i, n: (b, 0, i)),
+            pl.BlockSpec((1, d, nk_pad), lambda b, i, n: (b, 0, 0)),
+            pl.BlockSpec((1, d, nk_pad), lambda b, i, n: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i, n: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, n: (b, 0, i)),
+        ],
+    )
+
+    def kernel(n_ref, q_ref, k_ref, v_ref, o_ref, lse_ref):
+        _flash_kernel_dt_lse(
+            n_ref, q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
+            lse_ref.at[0], block_k=block_k, scale=scale,
+        )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, nq_pad), qt.dtype),
+            jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_valid, qp, kp, vp)
+    return out[:, :, :nq], lse[:, 0, :nq]
+
+
+def _flash_bwd_dq_kernel(n_valid_ref, qt_ref, got_ref, lse_ref, dl_ref,
+                         kt_ref, vt_ref, dqt_ref, *, block_k: int,
+                         scale: float):
+    """Grid: (BH, Nq_pad // block_q). qt/got/dqt: [d, block_q]; lse/dl
+    (delta = rowsum(dO*O)): [1, block_q]; kt/vt: [d, Nk_pad] VMEM-resident.
+    dQ^T = K^T dS with dS = P o (dP - delta), P recomputed blockwise from
+    the saved lse."""
+    n_valid = n_valid_ref[0]
+    d, n_pad = kt_ref.shape
+    block_q = qt_ref.shape[1]
+    num_kb = n_pad // block_k
+
+    qt = qt_ref[:]
+    got = got_ref[:]
+    lse = lse_ref[:]
+    delta = dl_ref[:]
+
+    def body(kb, acc):
+        kt_blk = kt_ref[:, pl.ds(kb * block_k, block_k)]
+        vt_blk = vt_ref[:, pl.ds(kb * block_k, block_k)]
+        st = jax.lax.dot_general(
+            kt_blk, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bk, bq]
+        row = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 0
+        )
+        st = jnp.where(row < n_valid, st, NEG_INF)
+        pt = jnp.exp(st - lse)  # exact probabilities
+        dpt = jax.lax.dot_general(
+            vt_blk, got, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, bq]
+        dst = (pt * (dpt - delta)).astype(qt.dtype)
+        return acc + jax.lax.dot_general(
+            kt_blk, dst, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d, bq]
+
+    acc = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((d, block_q), jnp.float32)
+    )
+    dqt_ref[:] = (acc * scale).astype(dqt_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(n_valid_ref, kt_ref, vt_ref, qt_ref, got_ref,
+                          lse_ref, dl_ref, dkt_ref, dvt_ref, *,
+                          block_q: int, scale: float):
+    """Grid: (BH, Nk_pad // block_k). kt/vt/dkt/dvt: [d, block_k]; qt/got:
+    [d, Nq_pad] VMEM-resident; lse/dl: [1, Nq_pad]. Padded q columns carry
+    lse = +1e30 so their probabilities vanish; padded k rows are masked
+    (their outputs are sliced off anyway)."""
+    n_valid = n_valid_ref[0]
+    d, nq_pad = qt_ref.shape
+    block_k = kt_ref.shape[1]
+    num_qb = nq_pad // block_q
+
+    kt = kt_ref[:]
+    vt = vt_ref[:]
+    kb = pl.program_id(1)
+    row = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, block_q), 0
+    )
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        qt_blk = qt_ref[:, pl.ds(qb * block_q, block_q)]
+        got_blk = got_ref[:, pl.ds(qb * block_q, block_q)]
+        lse_blk = lse_ref[:, pl.ds(qb * block_q, block_q)]
+        dl_blk = dl_ref[:, pl.ds(qb * block_q, block_q)]
+        st = jax.lax.dot_general(
+            kt, qt_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bk, bq]
+        st = jnp.where(row < n_valid, st, NEG_INF)
+        pt = jnp.exp(st - lse_blk)
+        dpt = jax.lax.dot_general(
+            vt, got_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dst = (pt * (dpt - dl_blk)).astype(kt.dtype)
+        # dV^T[d,bk] += dO^T[d,bq] P^T[bk,bq]^T ; dK^T[d,bk] += Q^T dS^T^T
+        dv_acc = dv_acc + jax.lax.dot_general(
+            got_blk, pt.astype(kt.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_acc = dk_acc + jax.lax.dot_general(
+            qt_blk, dst, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((d, block_k), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, (zeros, zeros))
+    dkt_ref[:] = (dk_acc * scale).astype(dkt_ref.dtype)
+    dvt_ref[:] = dv_acc.astype(dvt_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def _flash_dt_bwd_pallas(qt, kt, vt, out, lse, got, block_q=512,
+                         block_k=512, interpret=False):
+    """Pallas flash backward: (dqt, dkt, dvt) on the dt layout."""
+    bh, d, nq = qt.shape
+    nk = kt.shape[2]
+    scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _round_up(nq, 128))
+    block_k = min(block_k, _round_up(nk, 128))
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+
+    # delta = rowsum(dO o O) per query token (tiny, XLA-fused)
+    delta = jnp.sum(
+        got.astype(jnp.float32) * out.astype(jnp.float32), axis=1
+    )  # [bh, nq]
+
+    qp = jnp.pad(qt, ((0, 0), (0, 0), (0, nq_pad - nq)))
+    gp = jnp.pad(got, ((0, 0), (0, 0), (0, nq_pad - nq)))
+    kp = jnp.pad(kt, ((0, 0), (0, 0), (0, nk_pad - nk)))
+    vp = jnp.pad(vt, ((0, 0), (0, 0), (0, nk_pad - nk)))
+    lse_p = jnp.pad(
+        lse[:, None, :], ((0, 0), (0, 0), (0, nq_pad - nq)),
+        constant_values=_LSE_PAD,
+    )
+    dl_p = jnp.pad(delta[:, None, :], ((0, 0), (0, 0), (0, nq_pad - nq)))
+    n_valid = jnp.asarray([nk], jnp.int32)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i, n: (b, 0, i)),
+            pl.BlockSpec((1, d, block_q), lambda b, i, n: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, n: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, n: (b, 0, i)),
+            pl.BlockSpec((1, d, nk_pad), lambda b, i, n: (b, 0, 0)),
+            pl.BlockSpec((1, d, nk_pad), lambda b, i, n: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda b, i, n: (b, 0, i)),
+    )
+
+    def dq_kernel(n_ref, q_ref, g_ref, l_ref, dl_ref, k_ref, v_ref, o_ref):
+        _flash_bwd_dq_kernel(
+            n_ref, q_ref.at[0], g_ref.at[0], l_ref.at[0], dl_ref.at[0],
+            k_ref.at[0], v_ref.at[0], o_ref.at[0],
+            block_k=block_k, scale=scale,
+        )
+
+    dqt = pl.pallas_call(
+        dq_kernel,
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, d, nq_pad), qt.dtype),
+        interpret=interpret,
+    )(n_valid, qp, gp, lse_p, dl_p, kp, vp)
+
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, d, block_k), lambda b, j, n: (b, 0, j)),
+            pl.BlockSpec((1, d, block_k), lambda b, j, n: (b, 0, j)),
+            pl.BlockSpec((1, d, nq_pad), lambda b, j, n: (b, 0, 0)),
+            pl.BlockSpec((1, d, nq_pad), lambda b, j, n: (b, 0, 0)),
+            pl.BlockSpec((1, 1, nq_pad), lambda b, j, n: (b, 0, 0)),
+            pl.BlockSpec((1, 1, nq_pad), lambda b, j, n: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_k), lambda b, j, n: (b, 0, j)),
+            pl.BlockSpec((1, d, block_k), lambda b, j, n: (b, 0, j)),
+        ],
+    )
+
+    def dkv_kernel(n_ref, k_ref, v_ref, q_ref, g_ref, l_ref, dl_ref,
+                   dk_ref, dv_ref):
+        _flash_bwd_dkv_kernel(
+            n_ref, k_ref.at[0], v_ref.at[0], q_ref.at[0], g_ref.at[0],
+            l_ref.at[0], dl_ref.at[0], dk_ref.at[0], dv_ref.at[0],
+            block_q=block_q, scale=scale,
+        )
+
+    dkt, dvt = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, nk_pad), kt.dtype),
+            jax.ShapeDtypeStruct((bh, d, nk_pad), vt.dtype),
+        ],
+        interpret=interpret,
+    )(n_valid, kp, vp, qp, gp, lse_p, dl_p)
+
+    return dqt[:, :, :nq], dkt[:, :, :nk], dvt[:, :, :nk]
+
+
+def _use_pallas_bwd(d: int, nq: int, nk: int, itemsize: int) -> bool:
+    """Pallas backward needs full K/V (dq kernel) and Q/dO (dkv kernel)
+    rows VMEM-resident; fall back to the XLA scan backward for wide heads
+    (e.g. d=512 VAE mid attention) or when disabled."""
+    if _FLASH_BWD != "pallas":
+        return False
+    rows = 2 * d * max(_round_up(nq, 128), _round_up(nk, 128)) * itemsize
+    return rows <= _KV_RESIDENT_BYTES
+
+
 def _flash_dt_fwd(qt, kt, vt, block_q, block_k, interpret, softmax):
+    if _use_pallas_bwd(qt.shape[1], qt.shape[2], kt.shape[2],
+                       qt.dtype.itemsize):
+        # training path: exact online-softmax forward that also emits the
+        # logsumexp residual for the Pallas backward (exact regardless of
+        # the serving `softmax` mode — the right numerics for training)
+        out, lse = _flash_dt_impl_lse(
+            qt, kt, vt, block_q, 512 if block_k is None else block_k,
+            interpret,
+        )
+        return out, (qt, kt, vt, out, lse)
     out = _flash_dt_impl(qt, kt, vt, block_q, block_k, interpret, softmax)
-    return out, (qt, kt, vt)
+    return out, (qt, kt, vt, None, None)
 
 
 def _flash_dt_bwd(block_q, block_k, interpret, softmax, res, got):
-    """Exact attention backward on the transposed layout, q-chunked so the
-    [chunk, Nk] logits never exceed one chunk's footprint.
+    qt, kt, vt, out, lse = res
+    if out is not None:
+        return _flash_dt_bwd_pallas(
+            qt, kt, vt, out, lse, got, interpret=interpret
+        )
+    return _flash_dt_bwd_xla(qt, kt, vt, got)
+
+
+def _flash_dt_bwd_xla(qt, kt, vt, got):
+    """Fallback exact attention backward on the transposed layout,
+    q-chunked so the [chunk, Nk] logits never exceed one chunk's
+    footprint (XLA einsums under lax.scan; used for wide heads whose
+    rows exceed the Pallas kernels' VMEM budget, and via
+    MARIGOLD_TPU_FLASH_BWD=xla).
 
     Math (per batch-head, standard attention grads): with S = QK^T*s,
     P = softmax(S), O = PV:
       dV = P^T dO;  dP = dO V^T;  dS = P*(dP - rowsum(dP*P));
       dQ = dS K * s;  dK = dS^T Q * s.
     """
-    qt, kt, vt = res
     bh, d, nq = qt.shape
     nk = kt.shape[2]
     scale = 1.0 / math.sqrt(d)

@@ -68,6 +68,43 @@ def downsample_valid_mask(valid_mask: jax.Array, factor: int = 8) -> jax.Array:
     return pooled < 0.5
 
 
+def _save_heavy_policy(prim, *_, **__):
+    """Remat policy: keep every matmul/conv/attention result (the MXU ops
+    whose recompute costs real FLOPs) and rematerialize only elementwise
+    chains (GroupNorm stats, silu, adds) during backward. The flash
+    attention kernel is a custom_vjp call — saving it keeps its residuals
+    so the backward-pass probability recompute (its own design) is the
+    only attention recompute."""
+    return prim.name in (
+        "dot_general",
+        "conv_general_dilated",
+        "custom_vjp_call_jaxpr",
+        "custom_vjp_call",
+    )
+
+
+def _apply_remat(fwd: Callable, remat) -> Callable:
+    """remat modes for the UNet forward under value_and_grad:
+
+    * "none" / False — store all activations (fastest when HBM allows).
+    * "full" / True — `jax.checkpoint`: backprop recomputes the whole
+      forward instead of storing ~GBs of activations; ~+1 forward of
+      FLOPs but the smallest footprint.
+    * "save_heavy" — `jax.checkpoint` with a policy saving matmul/conv/
+      attention outputs: backward recomputes only elementwise chains, so
+      ~zero FLOP overhead at a fraction of full-activation memory — the
+      middle point that fits full-size bs2 training on one 16 GB chip
+      without full remat's extra forward.
+    """
+    if remat in (False, None, "none"):
+        return fwd
+    if remat in (True, "full"):
+        return jax.checkpoint(fwd)
+    if remat == "save_heavy":
+        return jax.checkpoint(fwd, policy=_save_heavy_policy)
+    raise ValueError(f"unknown remat mode: {remat!r}")
+
+
 def make_train_step(
     unet_cfg: unet_lib.UNetConfig,
     vae_cfg: vae_lib.VAEConfig,
@@ -77,7 +114,7 @@ def make_train_step(
     multi_res_noise_cfg: Optional[dict] = None,
     use_mask: bool = True,
     compute_dtype=jnp.bfloat16,
-    remat: bool = False,
+    remat="none",
 ) -> Callable:
     """Returns train_step(state, vae_params, text_embed, batch, key) ->
     (state, metrics). batch: dict with rgb_norm [B,H,W,3], target gt
@@ -163,12 +200,7 @@ def make_train_step(
             fwd = lambda p, xx: unet_lib.apply(
                 p, unet_cfg, xx, timesteps, text_embed
             )
-            if remat:
-                # full rematerialization: backprop recomputes the forward
-                # instead of storing ~GBs of per-layer activations —
-                # trades ~1/3 more FLOPs for fitting full-size training
-                # in a single chip's HBM
-                fwd = jax.checkpoint(fwd)
+            fwd = _apply_remat(fwd, remat)
             pred = fwd(params, x)
             pred = pred.astype(jnp.float32)
             if mask_lat is not None:

@@ -185,7 +185,9 @@ class MarigoldTrainerBase:
             multi_res_noise_cfg=dict(mrn) if mrn else None,
             use_mask=cfg.get("gt_mask_type") is not None,
             compute_dtype=self.core.dtype,
-            remat=bool(cfg.trainer.get("remat", False)),
+            # bool (yaml true/false) or a mode string ("full"/"save_heavy"
+            # /"none") — see train_step._apply_remat
+            remat=cfg.trainer.get("remat", False),
         )
         jit_kwargs = {}
         if self.state_shardings is not None:

@@ -402,3 +402,106 @@ def test_flash_dt_auto_block_matches_explicit(rng):
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(auto), np.asarray(explicit),
                                atol=2e-6, rtol=1e-5)
+
+
+# ---------------- Pallas flash backward (training path) ---------------- #
+
+
+def test_flash_dt_pallas_bwd_matches_xla_bwd(rng):
+    """The Pallas flash backward (dq + dkv kernels recomputing
+    probabilities from the forward's saved logsumexp) must match the XLA
+    scan fallback backward bit-for-tolerance on the same cotangent —
+    both are exact attention gradients."""
+    from marigold_tpu.ops import flash_attention as F
+
+    bh, n, d = 2, 384, 64
+    qt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    kt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    got = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+
+    out, lse = F._flash_dt_impl_lse(qt, kt, vt, 128, 128, True)
+    dq_p, dk_p, dv_p = F._flash_dt_bwd_pallas(
+        qt, kt, vt, out, lse, got, block_q=128, block_k=128, interpret=True
+    )
+    dq_x, dk_x, dv_x = F._flash_dt_bwd_xla(qt, kt, vt, got)
+    np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_x),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_x),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_x),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_flash_dt_lse_forward_matches_plain(rng):
+    """The lse-emitting forward must produce the same output as the plain
+    online kernel, and its lse must equal the true logsumexp of the
+    scaled logits."""
+    from marigold_tpu.ops import flash_attention as F
+
+    bh, n, d = 2, 300, 64  # non-block-multiple: padding exercised
+    qt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    kt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+
+    out, lse = F._flash_dt_impl_lse(qt, kt, vt, 128, 128, True)
+    ref = F._flash_dt_impl(qt, kt, vt, 128, 128, True, "online")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    s = np.einsum("bdq,bdk->bqk", np.asarray(qt), np.asarray(kt))
+    s = s / np.sqrt(d)
+    lse_ref = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), lse_ref, atol=1e-4,
+                               rtol=1e-5)
+
+
+def test_flash_dt_pallas_bwd_uneven_q_k(rng):
+    """nq != nk (both non-block-multiples): padded q columns are killed by
+    the +1e30 lse padding, padded k rows by the n_valid mask — gradients
+    must match differentiating plain attention."""
+    from marigold_tpu.ops import flash_attention as F
+
+    bh, nq, nk, d = 1, 200, 300, 64
+    q = jnp.asarray(rng.standard_normal((bh, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, nk, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((bh, nq, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out_t = flash_attention_dt(
+            q.transpose(0, 2, 1), k.transpose(0, 2, 1), v.transpose(0, 2, 1),
+            128, 128, True,
+        )
+        return jnp.sum(out_t.transpose(0, 2, 1) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, num_heads=1) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_dt_bwd_env_fallback(rng, monkeypatch):
+    """MARIGOLD_TPU_FLASH_BWD=xla must route the VJP through the scan
+    fallback and produce the same gradients."""
+    from marigold_tpu.ops import flash_attention as F
+
+    bh, n, d = 1, 256, 64
+    q = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, d, n)), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_dt(q, k, v, 128, 128, True) ** 2)
+
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(F, "_FLASH_BWD", "xla")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gp, gx in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=2e-4, rtol=1e-3)
