@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -273,11 +273,76 @@ def zero1_state_shardings(mesh, state_shapes: TrainState, axis_name: str = "data
     )
 
 
+class _AccumState(NamedTuple):
+    mini_step: jax.Array  # int32, counts micro-steps
+    acc: Any  # grad-shaped running sum in accum_dtype
+    inner: Any  # inner optimizer state
+
+
+def gradient_accumulation(
+    inner: optax.GradientTransformation, k: int, dtype=None
+) -> optax.GradientTransformation:
+    """optax.MultiSteps semantics with a controllable accumulator dtype.
+
+    Why not MultiSteps: its fp32 accumulator is a full gradient-sized
+    buffer (3.46 GB at SD2 scale) that coexists with the live gradient at
+    the micro-step peak — measured on a 16 GB v5e, that combination
+    admits only small-activation configs (bs2; bs4/bs8 OOM under every
+    remat policy). Storing the running sum in bf16 halves the buffer and
+    unlocks the fast bs8 geometry. bf16 summation of k<=16 same-scale
+    gradients loses ~3 decimal digits — far below minibatch noise, and
+    Adafactor/Adam normalize per-tensor — but it IS a numerics deviation,
+    so fp32 (dtype=None) stays the default and the bf16 accumulator is
+    opt-in (config optimizer.accum_dtype, docs/PERFORMANCE.md r4).
+
+    The inner update runs under lax.cond on the k-th micro-step with the
+    accumulated mean; other micro-steps return zero updates (params
+    unchanged), exactly like MultiSteps.
+    """
+    k = int(k)
+
+    def init(params):
+        acc = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, dtype or p.dtype), params
+        )
+        return _AccumState(jnp.zeros((), jnp.int32), acc, inner.init(params))
+
+    def update(grads, state, params=None):
+        acc = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(a.dtype), state.acc, grads
+        )
+        boundary = (state.mini_step + 1) % k == 0
+
+        def do_update(operand):
+            acc_, inner_state = operand
+            mean = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32) / k, acc_
+            )
+            updates, inner2 = inner.update(mean, inner_state, params)
+            zeroed = jax.tree_util.tree_map(jnp.zeros_like, acc_)
+            return updates, zeroed, inner2
+
+        def skip(operand):
+            acc_, inner_state = operand
+            updates = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), grads
+            )
+            return updates, acc_, inner_state
+
+        updates, acc_out, inner_out = jax.lax.cond(
+            boundary, do_update, skip, (acc, state.inner)
+        )
+        return updates, _AccumState(state.mini_step + 1, acc_out, inner_out)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float,
     lr_schedule_fn: Optional[Callable] = None,
     accumulation_steps: int = 1,
     name: str = "adam",
+    accum_dtype=None,
 ) -> optax.GradientTransformation:
     """Optimizer(+schedule) with optional gradient accumulation (the
     reference's effective-batch-32 = 2 x 16 accumulation,
@@ -305,5 +370,12 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown optimizer: {name}")
     if accumulation_steps > 1:
-        opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
+        if accum_dtype is not None:
+            # bf16 accumulator: halves the 3.46 GB buffer; opt-in
+            # (see gradient_accumulation docstring)
+            opt = gradient_accumulation(
+                opt, accumulation_steps, dtype=accum_dtype
+            )
+        else:
+            opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
     return opt

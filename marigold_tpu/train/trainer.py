@@ -88,9 +88,13 @@ class MarigoldTrainerBase:
             int(lrs.total_iter), float(lrs.final_ratio), int(lrs.warmup_steps)
         )
         opt_cfg = cfg.get("optimizer") or {}
+        accum_dtype = opt_cfg.get("accum_dtype")  # e.g. "bfloat16" (r4:
+        # halves the accumulation buffer, unlocking bs8 single-chip —
+        # opt-in numerics deviation, see train_step.gradient_accumulation)
         self.optimizer = make_optimizer(
             lr, self.lr_schedule_fn, self.accumulation_steps,
             name=opt_cfg.get("name", "adam"),
+            accum_dtype=jnp.dtype(accum_dtype) if accum_dtype else None,
         )
         # train in fp32 master params (bf16 fwd handled inside model dtype)
         unet_params_f32 = jax.tree_util.tree_map(

@@ -28,31 +28,6 @@ sys.path.insert(0, REPO)
 V5E_PEAK_TFLOPS = 197.0  # bf16 peak, one v5e chip
 
 
-def classify(name: str) -> str:
-    n = name.lower()
-    if "convolution" in n or n.startswith("%conv") or "conv2d" in n:
-        return "conv (fwd+grads)"
-    if "flash" in n or "custom-call" in n or "tpu_custom_call" in n:
-        return "pallas flash attn"
-    if n.startswith("dot") or "dot_general" in n or n.startswith("%dot"):
-        return "matmul (non-conv)"
-    if n.startswith("fusion") or n.startswith("%fusion") or n.startswith(
-        "loop_"
-    ) or n.startswith("input_fusion"):
-        return "fusion (elementwise/reduce)"
-    if "all-reduce" in n or "all-gather" in n or "reduce-scatter" in n:
-        return "collective"
-    if "copy" in n or "bitcast" in n or "transpose" in n or "reshape" in n:
-        return "layout/copy"
-    if "rng" in n or "random" in n:
-        return "rng"
-    if "scatter" in n or "gather" in n or "sort" in n:
-        return "gather/scatter/sort"
-    if "reduce" in n:
-        return "reduce"
-    return "other"
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=2)
@@ -63,6 +38,9 @@ def main():
     ap.add_argument("--remat", default="full",
                     help="full | none | <policy name>")
     ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--accum_dtype", default=None,
+                    help="accumulator dtype (e.g. bfloat16); default fp32 "
+                         "optax.MultiSteps")
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
@@ -97,8 +75,11 @@ def main():
                                               dtype=jnp.bfloat16))(k2)
     )
 
-    optimizer = make_optimizer(3e-5, None, accumulation_steps=args.accum,
-                               name="adafactor")
+    optimizer = make_optimizer(
+        3e-5, None, accumulation_steps=args.accum, name="adafactor",
+        accum_dtype=jnp.dtype(args.accum_dtype) if args.accum_dtype
+        else None,
+    )
     remat = args.remat if args.remat != "none" else False
     if remat == "full":
         remat = True
@@ -163,34 +144,51 @@ def main():
     events = [e for e in data["traceEvents"]
               if e.get("ph") == "X" and e.get("pid") == 3]
 
+    # trace events carry hlo_category + model_flops in args; XLA module
+    # envelopes appear both as jit_* and as bare step-counter names
+    # ("0","1",...) with no hlo_category — exclude both from op totals
     top = collections.Counter()
     agg, cnt = collections.Counter(), collections.Counter()
     cat = collections.Counter()
+    cat_flops = collections.Counter()
     for e in events:
         nm = e["name"]
+        a = e.get("args", {}) or {}
+        hc = a.get("hlo_category")
         if nm.startswith("jit_"):
             top[nm] += e.get("dur", 0)
             continue
+        if hc is None:
+            continue  # per-step envelope / non-op event
         key_ = re.sub(r"[.\d]+$", "", nm)
         agg[key_] += e.get("dur", 0)
         cnt[key_] += 1
-        cat[classify(nm)] += e.get("dur", 0)
+        cat[hc] += e.get("dur", 0)
+        try:
+            cat_flops[hc] += float(a.get("model_flops") or 0)
+        except (TypeError, ValueError):
+            pass
 
     print("\nprogram envelopes (ms per step):")
     for nm, dur in top.most_common(6):
         print(f"  {dur/1e3/n:9.2f} ms  {nm[:80]}")
+    step_ms = (max(top.values()) / 1e3 / n) if top else 0.0
+    if step_ms:
+        print(f"device step: {step_ms:.1f} ms "
+              f"({step_ms/bs:.1f} ms/sample)")
 
-    tot = sum(agg.values())
-    print(f"\ncategories (ms per step, device total "
-          f"{tot/1e6/n*1e3:.1f} ms):")
+    tot = sum(cat.values())
+    print(f"\nhlo categories (ms per step, op total {tot/1e3/n:.1f} ms):")
     for nm, dur in cat.most_common():
-        print(f"  {dur/1e3/n:9.2f} ms  {100*dur/tot:5.1f}%  {nm}")
+        eff = cat_flops[nm] / (dur / 1e6) / 1e12 if dur else 0.0
+        print(f"  {dur/1e3/n:9.2f} ms  {100*dur/tot:5.1f}%  "
+              f"{cat_flops[nm]/1e12/n:6.2f} TF  {eff:6.1f} TF/s  {nm}")
 
     print(f"\nleaf ops (ms per step):")
     for nm, dur in agg.most_common(args.top):
         print(f"  {dur/1e3/n:9.2f} ms x{cnt[nm]//n:5d}  {nm}")
 
-    dev_s = tot / 1e6 / n
+    dev_s = step_ms / 1e3 if step_ms else tot / 1e6 / n
     if step_flops and dev_s:
         tf = step_flops / 1e12
         print(f"\nXLA-counted FLOPs/step: {tf:.2f} TF "
