@@ -51,11 +51,11 @@ def build_normals_tree(root, n, hw=(768, 1024)):
         f.write("\n".join(names))
 
 
-def bench_loader(dataset, batch_size, n_batches):
+def bench_loader(dataset, batch_size, n_batches, num_workers=0):
     from marigold_tpu.data.loader import DataLoader
 
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, seed=0,
-                        drop_last=True)
+                        drop_last=True, num_workers=num_workers)
     it = iter(loader)
     next(it)  # warm caches
     t0 = time.perf_counter()
@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--device", action="store_true",
                     help="also measure the real TPU train step")
     ap.add_argument("--n", type=int, default=24)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="DataLoader num_workers (forked decode/augment "
+                         "processes; the shipped configs use 2-4)")
     args = ap.parse_args()
 
     from marigold_tpu.data.depth_datasets import HypersimDepthDataset
@@ -83,8 +86,11 @@ def main():
     tmp = tempfile.mkdtemp()
     d_depth = os.path.join(tmp, "hs_depth")
     d_norm = os.path.join(tmp, "hs_norm")
+    # datasets must exceed the worker submission window (workers +
+    # prefetch) by enough batches that the timed loop measures steady
+    # production, not warm-up pre-buffering
     build_depth_tree(d_depth, args.n)
-    build_normals_tree(d_norm, max(8, args.n // 3))
+    build_normals_tree(d_norm, max(8, args.n // 2))
 
     aug = dict(lr_flip_p=0.5)
     ds = HypersimDepthDataset(
@@ -96,8 +102,10 @@ def main():
         depth_transform=ScaleShiftDepthNormalizer(),
         resize_to_hw=[480, 640],
     )
-    rate_d = bench_loader(ds, batch_size=2, n_batches=8)
-    print(f"depth train loader (480x640, flip+norm):   {rate_d:6.2f} samples/s")
+    rate_d = bench_loader(ds, batch_size=2, n_batches=args.n // 2 - 2,
+                          num_workers=args.workers)
+    print(f"depth train loader (480x640, flip+norm, workers={args.workers}): "
+          f"{rate_d:6.2f} samples/s")
 
     aug_n = dict(  # reference train_marigold_normals.yaml:16-22 values
         lr_flip_p=0.5,
@@ -115,8 +123,11 @@ def main():
         disp_name="bench_hypersim_normals",
         augmentation_args=aug_n,
     )
-    rate_n = bench_loader(dsn, batch_size=2, n_batches=6)
-    print(f"normals train loader (768, blur+jitter):   {rate_n:6.2f} samples/s")
+    rate_n = bench_loader(dsn, batch_size=2,
+                          n_batches=max(8, args.n // 2) // 2 - 2,
+                          num_workers=args.workers)
+    print(f"normals train loader (768, blur+jitter, workers={args.workers}): "
+          f"{rate_n:6.2f} samples/s")
 
     if args.device:
         import jax
