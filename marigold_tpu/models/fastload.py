@@ -1,0 +1,233 @@
+"""Fast checkpoint ingest: mmap'd safetensors slabs + on-device unpack.
+
+The baseline load path (weights.py torch_to_tree) performs, per tensor,
+a host-side layout transpose, a host-side dtype cast, and one
+`jnp.asarray` device upload — ~700 small tunnel round trips at SD2
+scale, all serialized on one host core. Measured at full scale
+(scripts/bench_checkpoint_load.py, 2.5 GB fp16 checkpoint, tunneled
+v5e): 213.6 s ≈ 12 MB/s effective.
+
+This module restructures the load the TPU-native way:
+
+  1. Parse the safetensors header directly (8-byte LE length + JSON; the
+     format stores all tensor payloads contiguously in one data region)
+     and memory-map the file — zero host-side copies, no per-tensor
+     `get_tensor` materialization.
+  2. Pack the data region into a few large uint8 *slabs* (split only at
+     tensor boundaries, target 256 MB) and `jax.device_put` each slab
+     asynchronously — a handful of large streaming uploads instead of
+     ~700 small ones.
+  3. One jitted *unpack* program slices every tensor out of its slab,
+     bitcasts raw bytes to the stored dtype, reshapes, applies the
+     torch->JAX layout transpose (conv OIHW->HWIO, linear [out,in]->T),
+     and casts to the requested dtype — all on device, where transposes
+     and casts are effectively free next to the upload. Slabs are
+     donated so HBM peak stays ~(raw + params).
+
+The name mapping (module-path split, VAE attention aliases,
+strip_prefix) is shared with weights.py so both paths build identical
+trees; tests/test_fastload.py asserts bit-exact equality against the
+baseline path on a tiny diffusers-layout checkpoint.
+
+Reference anchor: this replaces the role of diffusers'
+`from_pretrained(..., torch_dtype=torch.float16)` weight ingest used by
+the reference eval drivers (script/depth/eval/11_infer_nyu.sh ->
+marigold/marigold_depth_pipeline.py from_pretrained).
+
+Kill switch: MARIGOLD_TPU_FASTLOAD=0 falls back to the baseline path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marigold_tpu.models.weights import (
+    _VAE_ATTN_ALIASES,
+    _is_embedding,
+    select_safetensor_files,
+)
+
+_SLAB_TARGET_BYTES = 256 * 1024 * 1024
+
+# safetensors dtype tag -> (jnp dtype to bitcast to, itemsize)
+_ST_DTYPES = {
+    "F64": (jnp.float64, 8),
+    "F32": (jnp.float32, 4),
+    "F16": (jnp.float16, 2),
+    "BF16": (jnp.bfloat16, 2),
+    "I64": (jnp.int64, 8),
+    "I32": (jnp.int32, 4),
+    "I16": (jnp.int16, 2),
+    "I8": (jnp.int8, 1),
+    "U8": (jnp.uint8, 1),
+    "BOOL": (jnp.uint8, 1),  # astype(bool_) after bitcast
+}
+
+
+@dataclass(frozen=True)
+class _TensorSpec:
+    name: str
+    st_dtype: str
+    shape: tuple[int, ...]
+    slab: int  # slab index
+    offset: int  # byte offset within slab
+    nbytes: int
+
+
+def _parse_header(fname: str):
+    """-> (header dict without __metadata__, data-region file offset)."""
+    with open(fname, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n).decode("utf-8"))
+    header.pop("__metadata__", None)
+    return header, 8 + n
+
+
+def _plan(files: list[str]):
+    """Pack every tensor in `files` into boundary-aligned slabs.
+
+    -> (specs: list[_TensorSpec], slabs: list[np.memmap uint8])
+    """
+    specs: list[_TensorSpec] = []
+    slabs: list[np.ndarray] = []
+    for fname in files:
+        header, data_start = _parse_header(fname)
+        entries = sorted(header.items(), key=lambda kv: kv[1]["data_offsets"][0])
+        mm = np.memmap(fname, dtype=np.uint8, mode="r")
+        # greedy boundary-aligned packing of the (contiguous) data region
+        i = 0
+        while i < len(entries):
+            begin = entries[i][1]["data_offsets"][0]
+            j = i
+            end = begin
+            while j < len(entries):
+                e0, e1 = entries[j][1]["data_offsets"]
+                if e1 - begin > _SLAB_TARGET_BYTES and j > i:
+                    break
+                end = e1
+                j += 1
+            slab_idx = len(slabs)
+            slabs.append(mm[data_start + begin : data_start + end])
+            for name, meta in entries[i:j]:
+                e0, e1 = meta["data_offsets"]
+                if meta["dtype"] not in _ST_DTYPES:
+                    raise NotImplementedError(
+                        f"fastload: unsupported safetensors dtype "
+                        f"{meta['dtype']} for {name!r}"
+                    )
+                specs.append(_TensorSpec(
+                    name=name, st_dtype=meta["dtype"],
+                    shape=tuple(meta["shape"]),
+                    slab=slab_idx, offset=e0 - begin, nbytes=e1 - e0,
+                ))
+            i = j
+    return specs, slabs
+
+
+def dest_parts(name: str, strip_prefix: str = "") -> tuple[str, ...]:
+    """torch tensor name -> tree path segments (shared name mapping)."""
+    if strip_prefix and name.startswith(strip_prefix):
+        name = name[len(strip_prefix):]
+    parts = list(name.split("."))
+    for i, p in enumerate(parts):
+        if p in _VAE_ATTN_ALIASES:
+            repl = _VAE_ATTN_ALIASES[p]
+            parts[i : i + 1] = list(repl) if isinstance(repl, tuple) else [repl]
+    return tuple(parts)
+
+
+def _transform_kind(parts: tuple[str, ...], ndim: int) -> str:
+    if parts[-1] == "weight":
+        if ndim == 4:
+            return "conv"  # OIHW -> HWIO
+        if ndim == 2 and not _is_embedding(parts):
+            return "linear"  # [out,in] -> [in,out]
+    return "none"
+
+
+def _unpack_one(slab, spec: _TensorSpec, parts, dtype):
+    jdt, itemsize = _ST_DTYPES[spec.st_dtype]
+    seg = jax.lax.slice(slab, (spec.offset,), (spec.offset + spec.nbytes,))
+    if itemsize == 1:
+        x = jax.lax.bitcast_convert_type(seg, jdt)
+    else:
+        x = jax.lax.bitcast_convert_type(
+            seg.reshape(-1, itemsize), jdt
+        )
+    if spec.st_dtype == "BOOL":
+        x = x.astype(jnp.bool_)
+    x = x.reshape(spec.shape)
+    kind = _transform_kind(parts, x.ndim)
+    if kind == "conv":
+        x = x.transpose(2, 3, 1, 0)
+    elif kind == "linear":
+        x = x.T
+    if dtype is not None:
+        x = x.astype(dtype)
+    return x
+
+
+def load_tree_ondevice(
+    path: str,
+    dtype=None,
+    strip_prefix: str = "",
+    variant: str | None = None,
+) -> dict:
+    """safetensors dir/file -> nested JAX param tree, transposes and
+    casts on device, uploads as a few large slabs. Drop-in for
+    load_safetensors_flat + torch_to_tree."""
+    files = select_safetensor_files(path, variant=variant)
+    specs, slabs = _plan(files)
+
+    # 64-bit tensors (e.g. transformers' int64 position_ids buffers)
+    # cannot be bitcast under JAX's default no-x64 config; they are tiny,
+    # so convert them host-side like the baseline path does.
+    host_specs = [s for s in specs if s.st_dtype in ("I64", "F64")]
+    specs = [s for s in specs if s.st_dtype not in ("I64", "F64")]
+
+    dev_slabs = [jax.device_put(np.asarray(s)) for s in slabs]
+
+    parts_for = {s.name: dest_parts(s.name, strip_prefix) for s in specs}
+
+    def unpack(slabs_in):
+        return tuple(
+            _unpack_one(slabs_in[s.slab], s, parts_for[s.name], dtype)
+            for s in specs
+        )
+
+    leaves = jax.jit(unpack, donate_argnums=0)(dev_slabs)
+
+    tree: dict = {}
+
+    def insert(parts, leaf):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    for spec, leaf in zip(specs, leaves):
+        insert(parts_for[spec.name], leaf)
+    for spec in host_specs:
+        np_dt = {"I64": np.int64, "F64": np.float64}[spec.st_dtype]
+        slab = slabs[spec.slab]
+        raw = np.asarray(
+            slab[spec.offset : spec.offset + spec.nbytes]
+        ).view(np_dt).reshape(spec.shape)
+        parts = dest_parts(spec.name, strip_prefix)
+        kind = _transform_kind(parts, raw.ndim)
+        if kind == "conv":
+            raw = raw.transpose(2, 3, 1, 0)
+        elif kind == "linear":
+            raw = raw.T
+        insert(parts, jnp.asarray(raw, dtype=dtype))
+    return tree
+
+
+def enabled() -> bool:
+    return os.environ.get("MARIGOLD_TPU_FASTLOAD", "1") != "0"

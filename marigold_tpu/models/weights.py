@@ -41,19 +41,15 @@ _VAE_ATTN_ALIASES = {
 _EMBEDDING_MARKERS = ("token_embedding", "position_embedding", "embeddings")
 
 
-def load_safetensors_flat(
-    path: str, variant: str | None = None
-) -> dict[str, np.ndarray]:
-    """Load *.safetensors under `path` (single file, multiple shards, or an
-    index json) into one flat name->array dict.
-
-    variant: HF weight-variant selection (diffusers from_pretrained
-    variant="fp16" semantics — reference script/depth/run.py:203-215 uses
-    it for --half_precision). A checkpoint dir may carry both
-    model.safetensors and model.fp16.safetensors with identical keys:
-    variant=None loads only the non-variant files (falling back to
-    whatever exists), variant="fp16" prefers *.fp16.safetensors."""
-    tensors: dict[str, np.ndarray] = {}
+def select_safetensor_files(path: str, variant: str | None = None) -> list[str]:
+    """Resolve `path` (a file or a checkpoint subdir) to the list of
+    *.safetensors files to load, honoring HF weight-variant selection
+    (diffusers from_pretrained variant="fp16" semantics — reference
+    script/depth/run.py:203-215 uses it for --half_precision). A
+    checkpoint dir may carry both model.safetensors and
+    model.fp16.safetensors with identical keys: variant=None loads only
+    the non-variant files (falling back to whatever exists),
+    variant="fp16" prefers *.fp16.safetensors."""
     if os.path.isfile(path):
         files = [path]
     else:
@@ -99,7 +95,16 @@ def load_safetensors_flat(
         files = sorted(os.path.join(path, f) for f in want)
     if not files:
         raise FileNotFoundError(f"no .safetensors files under {path}")
-    for f in files:
+    return files
+
+
+def load_safetensors_flat(
+    path: str, variant: str | None = None
+) -> dict[str, np.ndarray]:
+    """Load *.safetensors under `path` (single file, multiple shards, or an
+    index json) into one flat name->array dict."""
+    tensors: dict[str, np.ndarray] = {}
+    for f in select_safetensor_files(path, variant=variant):
         with safe_open(f, framework="numpy") as st:
             for k in st.keys():
                 tensors[k] = st.get_tensor(k)
@@ -183,31 +188,41 @@ def write_config(cfg: Mapping[str, Any], dirpath: str, filename: str = "config.j
 # component loaders
 
 
+def _load_params(subdir: str, dtype, variant, strip_prefix: str = ""):
+    """Shared component-param ingest: the fast slab/on-device path by
+    default (models/fastload.py — measured 213.6 s -> see PERFORMANCE.md
+    at full 2.5 GB scale), the per-tensor host path when
+    MARIGOLD_TPU_FASTLOAD=0."""
+    from marigold_tpu.models import fastload
+
+    if fastload.enabled():
+        return fastload.load_tree_ondevice(
+            subdir, dtype=dtype, strip_prefix=strip_prefix, variant=variant
+        )
+    flat = load_safetensors_flat(subdir, variant=variant)
+    return torch_to_tree(flat, dtype=dtype, strip_prefix=strip_prefix)
+
+
 def load_unet(subdir: str, dtype=None, variant: str | None = None):
     """unet/ dir -> (UNetConfig, params tree)."""
     from marigold_tpu.models.unet import UNetConfig
 
     cfg = UNetConfig.from_dict(read_config(subdir))
-    flat = load_safetensors_flat(subdir, variant=variant)
-    params = torch_to_tree(flat, dtype=dtype)
-    return cfg, params
+    return cfg, _load_params(subdir, dtype, variant)
 
 
 def load_vae(subdir: str, dtype=None, variant: str | None = None):
     from marigold_tpu.models.vae import VAEConfig
 
     cfg = VAEConfig.from_dict(read_config(subdir))
-    flat = load_safetensors_flat(subdir, variant=variant)
-    params = torch_to_tree(flat, dtype=dtype)
-    return cfg, params
+    return cfg, _load_params(subdir, dtype, variant)
 
 
 def load_text_encoder(subdir: str, dtype=None, variant: str | None = None):
     from marigold_tpu.models.clip_text import CLIPTextConfig
 
     cfg = CLIPTextConfig.from_dict(read_config(subdir))
-    flat = load_safetensors_flat(subdir, variant=variant)
-    params = torch_to_tree(flat, dtype=dtype, strip_prefix="text_model.")
+    params = _load_params(subdir, dtype, variant, strip_prefix="text_model.")
     # transformers also stores a text_projection for CLIPModel ckpts; drop
     params.pop("text_projection", None)
     return cfg, params
