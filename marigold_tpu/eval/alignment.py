@@ -64,11 +64,11 @@ def align_depth_least_square(
 def depth2disparity(depth: np.ndarray, return_mask: bool = False):
     """1/depth where depth > 0 (reference alignment.py:85-93)."""
     depth = np.asarray(depth, np.float64)
-    non_negtive_mask = depth > 0
+    positive_mask = depth > 0
     disparity = np.zeros_like(depth)
-    disparity[non_negtive_mask] = 1.0 / depth[non_negtive_mask]
+    disparity[positive_mask] = 1.0 / depth[positive_mask]
     if return_mask:
-        return disparity, non_negtive_mask
+        return disparity, positive_mask
     return disparity
 
 

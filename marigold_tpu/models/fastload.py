@@ -25,16 +25,21 @@ This module restructures the load the TPU-native way:
      donated so HBM peak stays ~(raw + params).
 
 The name mapping (module-path split, VAE attention aliases,
-strip_prefix) is shared with weights.py so both paths build identical
-trees; tests/test_fastload.py asserts bit-exact equality against the
-baseline path on a tiny diffusers-layout checkpoint.
+strip_prefix) is weights.py's dest_parts — one function serving both
+ingest paths; tests/test_fastload.py asserts bit-exact equality against
+the baseline path on a tiny diffusers-layout checkpoint, for F16/BF16/
+F32/I64 storage dtypes.
 
 Reference anchor: this replaces the role of diffusers'
 `from_pretrained(..., torch_dtype=torch.float16)` weight ingest used by
 the reference eval drivers (script/depth/eval/11_infer_nyu.sh ->
 marigold/marigold_depth_pipeline.py from_pretrained).
 
-Kill switch: MARIGOLD_TPU_FASTLOAD=0 falls back to the baseline path.
+Kill switch: MARIGOLD_TPU_FASTLOAD=0 falls back to the baseline path
+(weights.py load_safetensors_flat + torch_to_tree). The fallback reads
+via safetensors framework="numpy", which handles BF16-stored files on
+the pinned safetensors>=0.8 (returns ml_dtypes bfloat16 arrays);
+tests/test_fastload.py covers a BF16-stored tensor on both paths.
 """
 
 from __future__ import annotations
@@ -48,8 +53,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from marigold_tpu.models.weights import (
-    _VAE_ATTN_ALIASES,
     _is_embedding,
+    dest_parts,
     select_safetensor_files,
 )
 
@@ -100,6 +105,38 @@ def _plan(files: list[str]):
         header, data_start = _parse_header(fname)
         entries = sorted(header.items(), key=lambda kv: kv[1]["data_offsets"][0])
         mm = np.memmap(fname, dtype=np.uint8, mode="r")
+        # Validate header-declared offsets before trusting them: a
+        # malformed/truncated checkpoint must fail with a clear ingest
+        # error here, not an opaque shape error inside the jitted unpack.
+        data_size = mm.shape[0] - data_start
+        prev_end = 0
+        for name, meta in entries:
+            if meta["dtype"] not in _ST_DTYPES:
+                raise NotImplementedError(
+                    f"fastload: unsupported safetensors dtype "
+                    f"{meta['dtype']} for {name!r} in {fname}"
+                )
+            e0, e1 = meta["data_offsets"]
+            itemsize = _ST_DTYPES[meta["dtype"]][1]
+            want = int(np.prod(meta["shape"], dtype=np.int64)) * itemsize
+            if not (0 <= e0 <= e1 <= data_size):
+                raise ValueError(
+                    f"fastload: {name!r} in {fname} declares data_offsets "
+                    f"[{e0}, {e1}) outside the {data_size}-byte data region "
+                    "(truncated or corrupt checkpoint?)"
+                )
+            if e1 - e0 != want:
+                raise ValueError(
+                    f"fastload: {name!r} in {fname} declares {e1 - e0} bytes "
+                    f"but shape {tuple(meta['shape'])} x {meta['dtype']} "
+                    f"needs {want}"
+                )
+            if e0 < prev_end:
+                raise ValueError(
+                    f"fastload: {name!r} in {fname} overlaps the previous "
+                    "tensor's data region (corrupt header)"
+                )
+            prev_end = e1
         # greedy boundary-aligned packing of the (contiguous) data region
         i = 0
         while i < len(entries):
@@ -116,11 +153,6 @@ def _plan(files: list[str]):
             slabs.append(mm[data_start + begin : data_start + end])
             for name, meta in entries[i:j]:
                 e0, e1 = meta["data_offsets"]
-                if meta["dtype"] not in _ST_DTYPES:
-                    raise NotImplementedError(
-                        f"fastload: unsupported safetensors dtype "
-                        f"{meta['dtype']} for {name!r}"
-                    )
                 specs.append(_TensorSpec(
                     name=name, st_dtype=meta["dtype"],
                     shape=tuple(meta["shape"]),
@@ -128,18 +160,6 @@ def _plan(files: list[str]):
                 ))
             i = j
     return specs, slabs
-
-
-def dest_parts(name: str, strip_prefix: str = "") -> tuple[str, ...]:
-    """torch tensor name -> tree path segments (shared name mapping)."""
-    if strip_prefix and name.startswith(strip_prefix):
-        name = name[len(strip_prefix):]
-    parts = list(name.split("."))
-    for i, p in enumerate(parts):
-        if p in _VAE_ATTN_ALIASES:
-            repl = _VAE_ATTN_ALIASES[p]
-            parts[i : i + 1] = list(repl) if isinstance(repl, tuple) else [repl]
-    return tuple(parts)
 
 
 def _transform_kind(parts: tuple[str, ...], ndim: int) -> str:

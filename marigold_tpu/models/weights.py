@@ -115,6 +115,23 @@ def _is_embedding(path_parts: tuple[str, ...]) -> bool:
     return any(m in path_parts for m in _EMBEDDING_MARKERS)
 
 
+def dest_parts(name: str, strip_prefix: str = "") -> tuple[str, ...]:
+    """torch tensor name -> tree path segments.
+
+    The single source of truth for the name mapping (prefix strip,
+    module-path split, historical VAE attention aliases) — both ingest
+    paths (torch_to_tree here and fastload.load_tree_ondevice) call it,
+    so the mapping cannot drift between them."""
+    if strip_prefix and name.startswith(strip_prefix):
+        name = name[len(strip_prefix):]
+    parts = list(name.split("."))
+    for i, p in enumerate(parts):
+        if p in _VAE_ATTN_ALIASES:
+            repl = _VAE_ATTN_ALIASES[p]
+            parts[i : i + 1] = list(repl) if isinstance(repl, tuple) else [repl]
+    return tuple(parts)
+
+
 def torch_to_tree(
     flat: Mapping[str, np.ndarray],
     dtype=None,
@@ -123,20 +140,13 @@ def torch_to_tree(
     """Flat torch-named tensors -> nested JAX tree with layout transposes."""
     tree: dict = {}
     for name, arr in flat.items():
-        if strip_prefix and name.startswith(strip_prefix):
-            name = name[len(strip_prefix):]
-        parts = list(name.split("."))
-        # alias old VAE attention names
-        for i, p in enumerate(parts):
-            if p in _VAE_ATTN_ALIASES:
-                repl = _VAE_ATTN_ALIASES[p]
-                parts[i : i + 1] = list(repl) if isinstance(repl, tuple) else [repl]
+        parts = dest_parts(name, strip_prefix)
         leaf = parts[-1]
         value = np.asarray(arr)
         if leaf == "weight":
             if value.ndim == 4:  # conv OIHW -> HWIO
                 value = value.transpose(2, 3, 1, 0)
-            elif value.ndim == 2 and not _is_embedding(tuple(parts)):
+            elif value.ndim == 2 and not _is_embedding(parts):
                 value = value.transpose(1, 0)
         node = tree
         for p in parts[:-1]:

@@ -77,6 +77,78 @@ def test_fp16_variant_and_sharded_files(tmp_path):
     _trees_equal(base, fast)
 
 
+def test_bf16_stored_tensors(tmp_path):
+    """BF16-stored safetensors ingest bit-exactly on BOTH paths: the
+    fastload bitcast branch, and the framework="numpy" kill-switch
+    fallback (which handles BF16 on the pinned safetensors>=0.8 via
+    ml_dtypes). Compare against hand-built expected arrays so neither
+    path is 'the oracle'."""
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file as save_torch
+
+    rng = np.random.default_rng(1)
+    conv_f32 = rng.standard_normal((4, 6, 3, 3)).astype(np.float32)
+    lin_f32 = rng.standard_normal((8, 5)).astype(np.float32)
+    d = tmp_path / "m"
+    d.mkdir()
+    save_torch(
+        {
+            "blk.conv.weight": torch.from_numpy(conv_f32).bfloat16(),
+            "blk.lin.weight": torch.from_numpy(lin_f32).bfloat16(),
+        },
+        str(d / "model.safetensors"),
+    )
+    expected = {
+        ("blk", "conv", "weight"): jnp.asarray(conv_f32, jnp.bfloat16)
+        .transpose(2, 3, 1, 0),
+        ("blk", "lin", "weight"): jnp.asarray(lin_f32, jnp.bfloat16).T,
+    }
+
+    fast = fastload.load_tree_ondevice(str(d), dtype=None)
+    base = W.torch_to_tree(W.load_safetensors_flat(str(d)), dtype=None)
+    for tree in (fast, base):
+        for (a, b, c), want in expected.items():
+            got = tree[a][b][c]
+            assert got.dtype == jnp.bfloat16
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32), np.asarray(want, np.float32)
+            )
+
+
+def test_malformed_header_rejected(tmp_path):
+    """Truncated or inconsistent checkpoints must fail at plan time with
+    a descriptive error naming the tensor, not inside the jitted unpack."""
+    import json as _json
+
+    d = tmp_path / "m"
+    d.mkdir()
+    f = d / "model.safetensors"
+
+    def write(header: dict, data: bytes):
+        hb = _json.dumps(header).encode()
+        f.write_bytes(len(hb).to_bytes(8, "little") + hb + data)
+
+    # offsets beyond the data region
+    write({"t": {"dtype": "F32", "shape": [4], "data_offsets": [0, 16]}},
+          b"\0" * 8)
+    with pytest.raises(ValueError, match="t.*data region"):
+        fastload.load_tree_ondevice(str(d))
+
+    # nbytes inconsistent with shape*itemsize
+    write({"t": {"dtype": "F32", "shape": [4], "data_offsets": [0, 8]}},
+          b"\0" * 8)
+    with pytest.raises(ValueError, match="needs 16"):
+        fastload.load_tree_ondevice(str(d))
+
+    # overlapping tensors
+    write({
+        "a": {"dtype": "F32", "shape": [2], "data_offsets": [0, 8]},
+        "b": {"dtype": "F32", "shape": [2], "data_offsets": [4, 12]},
+    }, b"\0" * 12)
+    with pytest.raises(ValueError, match="overlaps"):
+        fastload.load_tree_ondevice(str(d))
+
+
 def test_component_loaders_use_fastload(ckpt, monkeypatch):
     """load_unet / load_vae / load_text_encoder produce identical trees
     with the flag on and off (the default path IS fastload)."""
