@@ -17,12 +17,17 @@ This module restructures the load the TPU-native way:
      tensor boundaries, target 256 MB) and `jax.device_put` each slab
      asynchronously — a handful of large streaming uploads instead of
      ~700 small ones.
-  3. One jitted *unpack* program slices every tensor out of its slab,
-     bitcasts raw bytes to the stored dtype, reshapes, applies the
-     torch->JAX layout transpose (conv OIHW->HWIO, linear [out,in]->T),
-     and casts to the requested dtype — all on device, where transposes
-     and casts are effectively free next to the upload. Slabs are
-     donated so HBM peak stays ~(raw + params).
+  3. One jitted *unpack* program PER SLAB slices every tensor out of
+     that slab, bitcasts raw bytes to the stored dtype, reshapes,
+     applies the torch->JAX layout transpose (conv OIHW->HWIO, linear
+     [out,in]->T), and casts to the requested dtype — all on device,
+     where transposes and casts are effectively free next to the
+     upload. Per-slab programs matter: a single whole-checkpoint unpack
+     program was measured to peak at 16 GB HBM at SD2 scale (XLA holds
+     hundreds of output+intermediate buffers live in one schedule) and
+     OOMs a 16 GB v5e; per-slab programs bound the transient to one
+     slab's working set, and each slab buffer is deleted as soon as its
+     program has consumed it.
 
 The name mapping (module-path split, VAE attention aliases,
 strip_prefix) is weights.py's dest_parts — one function serving both
@@ -171,15 +176,29 @@ def _transform_kind(parts: tuple[str, ...], ndim: int) -> str:
     return "none"
 
 
-def _unpack_one(slab, spec: _TensorSpec, parts, dtype):
-    jdt, itemsize = _ST_DTYPES[spec.st_dtype]
-    seg = jax.lax.slice(slab, (spec.offset,), (spec.offset + spec.nbytes,))
+def _bitcast_1d(seg, st_dtype: str):
+    """u8[k*n] -> stored-dtype[n], staying 1-D throughout.
+
+    The obvious route — reshape to u8[n, k] and bitcast_convert_type —
+    is a memory catastrophe on TPU: the minor dim k (2 or 4) is padded
+    to the 128-lane tile, a 64x layout expansion (measured: a 256 MB
+    slab's reshape materialized as u8[133942404,2] = 15.97 GB padded,
+    OOMing a v5e). Instead, gather each byte lane with a strided 1-D
+    slice and combine little-endian with shifts in a same-width uint,
+    then bitcast uint->float (shape-preserving, no padding)."""
+    jdt, itemsize = _ST_DTYPES[st_dtype]
     if itemsize == 1:
-        x = jax.lax.bitcast_convert_type(seg, jdt)
-    else:
-        x = jax.lax.bitcast_convert_type(
-            seg.reshape(-1, itemsize), jdt
-        )
+        return jax.lax.bitcast_convert_type(seg, jdt)
+    uint = {2: jnp.uint16, 4: jnp.uint32}[itemsize]
+    acc = seg[0::itemsize].astype(uint)
+    for i in range(1, itemsize):
+        acc = acc | (seg[i::itemsize].astype(uint) << (8 * i))
+    return jax.lax.bitcast_convert_type(acc, jdt)
+
+
+def _unpack_one(slab, spec: _TensorSpec, parts, dtype):
+    seg = jax.lax.slice(slab, (spec.offset,), (spec.offset + spec.nbytes,))
+    x = _bitcast_1d(seg, spec.st_dtype)
     if spec.st_dtype == "BOOL":
         x = x.astype(jnp.bool_)
     x = x.reshape(spec.shape)
@@ -211,17 +230,29 @@ def load_tree_ondevice(
     host_specs = [s for s in specs if s.st_dtype in ("I64", "F64")]
     specs = [s for s in specs if s.st_dtype not in ("I64", "F64")]
 
-    dev_slabs = [jax.device_put(np.asarray(s)) for s in slabs]
-
     parts_for = {s.name: dest_parts(s.name, strip_prefix) for s in specs}
 
-    def unpack(slabs_in):
-        return tuple(
-            _unpack_one(slabs_in[s.slab], s, parts_for[s.name], dtype)
-            for s in specs
-        )
+    # Upload every slab up front (device_put is async — uploads stream
+    # while earlier slabs' unpack programs run), then unpack slab by
+    # slab and drop each slab buffer as soon as it has been consumed.
+    dev_slabs = [jax.device_put(np.asarray(s)) for s in slabs]
 
-    leaves = jax.jit(unpack, donate_argnums=0)(dev_slabs)
+    by_slab: dict[int, list[_TensorSpec]] = {}
+    for s in specs:
+        by_slab.setdefault(s.slab, []).append(s)
+
+    pairs: list[tuple[_TensorSpec, jax.Array]] = []
+    for slab_idx, slab_specs in by_slab.items():
+        def unpack(slab, _specs=tuple(slab_specs)):
+            return tuple(
+                _unpack_one(slab, s, parts_for[s.name], dtype)
+                for s in _specs
+            )
+
+        out = jax.jit(unpack)(dev_slabs[slab_idx])
+        dev_slabs[slab_idx].delete()
+        dev_slabs[slab_idx] = None
+        pairs.extend(zip(slab_specs, out))
 
     tree: dict = {}
 
@@ -231,7 +262,7 @@ def load_tree_ondevice(
             node = node.setdefault(p, {})
         node[parts[-1]] = leaf
 
-    for spec, leaf in zip(specs, leaves):
+    for spec, leaf in pairs:
         insert(parts_for[spec.name], leaf)
     for spec in host_specs:
         np_dt = {"I64": np.int64, "F64": np.float64}[spec.st_dtype]

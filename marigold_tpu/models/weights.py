@@ -200,15 +200,35 @@ def write_config(cfg: Mapping[str, Any], dirpath: str, filename: str = "config.j
 
 def _load_params(subdir: str, dtype, variant, strip_prefix: str = ""):
     """Shared component-param ingest: the fast slab/on-device path by
-    default (models/fastload.py — measured 213.6 s -> see PERFORMANCE.md
-    at full 2.5 GB scale), the per-tensor host path when
-    MARIGOLD_TPU_FASTLOAD=0."""
+    default (models/fastload.py — replaces the per-tensor host path
+    whose full-scale cost was measured at 94.9-213.6 s depending on
+    page cache; see PERFORMANCE.md), the per-tensor host path when
+    MARIGOLD_TPU_FASTLOAD=0.
+
+    If the device unpack path fails at runtime (a backend that rejects
+    the slab upload/bitcast programs, or transient HBM pressure), fall
+    back to the baseline path with a warning rather than failing the
+    load. Plan-time errors (corrupt/truncated checkpoints) are NOT
+    swallowed — those would fail either path."""
     from marigold_tpu.models import fastload
 
     if fastload.enabled():
-        return fastload.load_tree_ondevice(
-            subdir, dtype=dtype, strip_prefix=strip_prefix, variant=variant
-        )
+        try:
+            return fastload.load_tree_ondevice(
+                subdir, dtype=dtype, strip_prefix=strip_prefix,
+                variant=variant,
+            )
+        except (ValueError, NotImplementedError):
+            raise  # checkpoint-validation errors: real ingest failures
+        except Exception as e:  # jax runtime/compile errors -> fallback
+            import warnings
+
+            warnings.warn(
+                "fastload device unpack failed "
+                f"({type(e).__name__}: {e}); falling back to the "
+                "per-tensor host load path (MARIGOLD_TPU_FASTLOAD=0)",
+                stacklevel=2,
+            )
     flat = load_safetensors_flat(subdir, variant=variant)
     return torch_to_tree(flat, dtype=dtype, strip_prefix=strip_prefix)
 
