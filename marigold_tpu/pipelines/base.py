@@ -114,6 +114,17 @@ class DiffusionCore:
         self._jit_cache: "OrderedDict" = OrderedDict()
         self._jit_cache_max = 32
 
+    def _lcm_fingerprint(self):
+        """Program-cache key component for the sampler. Setting
+        `core.lcm` swaps the consistency sampler into the traced
+        program, so cached DDIM programs must not be reused (bug found
+        in round 5: flipping `lcm` after a DDIM run silently served
+        DDIM results because no cache key carried the sampler)."""
+        lcm = getattr(self, "lcm", None)
+        if lcm is None:
+            return None
+        return ("lcm", int(lcm.original_inference_steps))
+
     def _cached_program(self, key, build):
         cache = self._jit_cache
         if key in cache:
@@ -202,7 +213,8 @@ class DiffusionCore:
 
     def get_infer_fn(self, h_lat: int, w_lat: int, num_steps: int,
                      ensemble_chunk: int, mode: str, n_targets: int = 1):
-        key = (h_lat, w_lat, num_steps, ensemble_chunk, mode, n_targets)
+        key = (h_lat, w_lat, num_steps, ensemble_chunk, mode, n_targets,
+               self._lcm_fingerprint())
         return self._cached_program(
             key,
             lambda: self._build_infer_fn(num_steps, ensemble_chunk, mode,
@@ -471,7 +483,8 @@ class DiffusionCore:
         from marigold_tpu.ops.attention import get_flash_softmax
 
         key = ("fused", hp, wp, num_steps, ensemble_size, chunk, mode,
-               n_targets, ensemble_opts, spatial, get_flash_softmax())
+               n_targets, ensemble_opts, spatial, get_flash_softmax(),
+               self._lcm_fingerprint())
         return self._cached_program(
             key,
             lambda: self._build_fused_fn(num_steps, ensemble_size, chunk,
@@ -496,7 +509,11 @@ class DiffusionCore:
         px = max(crop_hw[0] * crop_hw[1], 1)
         if mode == "iid":
             px *= max(n_targets, 1)
-        dec_cap = max(1, int(20 * (768 * 768) / px))
+        # base cap of 20 decoded 768px images; MARIGOLD_DECODE_CAP
+        # overrides for geometry sweeps (1-step protocols shift the
+        # denoise:decode ratio, so their optimum is swept separately)
+        base_cap = int(os.environ.get("MARIGOLD_DECODE_CAP", "20"))
+        dec_cap = max(1, int(base_cap * (768 * 768) / px))
         n_dec = -(-total // min(dec_cap, total))
         return n_dec, -(-total // n_dec)
 
@@ -699,7 +716,8 @@ class DiffusionCore:
 
         key = ("batch", hp, wp, num_steps, ensemble_size, chunk, mode,
                n_targets, out_hw, crop_hw, ensemble_opts, n_images,
-               compact_output, resample_method, get_flash_softmax())
+               compact_output, resample_method, get_flash_softmax(),
+               self._lcm_fingerprint())
         return self._cached_program(
             key,
             lambda: self._build_batch_fn(num_steps, ensemble_size, chunk,

@@ -181,13 +181,15 @@ def main():
     ap.add_argument("--normals_ni", type=int,
                     default=int(os.environ.get("MARIGOLD_BENCH_NI", "3")))
     ap.add_argument("--iid_ni", type=int, default=16)
-    # 1-step geometry differs from the 4-step NI=3 optimum: each member
-    # costs 1 UNet step (not 4) so fixed costs need more images to
-    # amortize; swept on v5e (see docs/PERFORMANCE.md "1-step protocols")
+    # 1-step NI sweep on v5e (2026-08): NI=2/3/6 -> 1.299/1.510-1.537/
+    # 1.343 maps/s; NI=10 OOMs HBM. NI=3 is the optimum at 1 step too —
+    # the 30-row denoise batch already saturates the MXU for the single
+    # step, and larger NI only grows the decode working set (see
+    # docs/PERFORMANCE.md "1-step protocols").
     ap.add_argument("--depth1_ni", type=int,
-                    default=int(os.environ.get("MARIGOLD_BENCH_NI1", "6")))
+                    default=int(os.environ.get("MARIGOLD_BENCH_NI1", "3")))
     ap.add_argument("--lcm_ni", type=int,
-                    default=int(os.environ.get("MARIGOLD_BENCH_NI1", "6")))
+                    default=int(os.environ.get("MARIGOLD_BENCH_NI1", "3")))
     ap.add_argument("--n_iter", type=int, default=4)
     ap.add_argument("--latency", action="store_true",
                     help="also measure single-image synchronous latency "

@@ -199,3 +199,35 @@ def test_lcm_batched_serving(tmp_path, rng, monkeypatch):
         batch_size=2, seed=11,
     )
     np.testing.assert_array_equal(outs[2].depth_np, outs2[2].depth_np)
+
+
+def test_sampler_toggle_invalidates_program_cache(tmp_path, rng):
+    """Setting `core.lcm` AFTER a DDIM run must not reuse the cached DDIM
+    program: the sampler is baked into the traced program, so the program
+    cache key carries a sampler fingerprint (round-5 regression — without
+    it, toggling lcm on a shared core silently served DDIM results)."""
+    import os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_tiny_checkpoint
+
+    from marigold_tpu import MarigoldDepthPipeline
+    from marigold_tpu.core.lcm import LCMSchedule
+
+    d = make_tiny_checkpoint(str(tmp_path / "ck"), mode="depth")
+    pipe = MarigoldDepthPipeline.from_pretrained(d, dtype=jnp.float32)
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    kw = dict(denoising_steps=2, ensemble_size=2, processing_res=32,
+              seed=1, show_progress_bar=False, color_map=None)
+    a = pipe(img, **kw).depth_np  # DDIM, fills the program cache
+    pipe.core.lcm = LCMSchedule.create(
+        base=pipe.core.schedule, original_inference_steps=8
+    )
+    b = pipe(img, **kw).depth_np  # must trace a NEW program with LCM
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-6, (
+        "LCM run reproduced the DDIM output bit-for-bit: the cached DDIM "
+        "program was reused despite core.lcm being set"
+    )
+    pipe.core.lcm = None
+    c = pipe(img, **kw).depth_np  # toggling back must restore DDIM
+    assert np.abs(a - c).max() == 0.0
