@@ -115,6 +115,7 @@ def make_train_step(
     use_mask: bool = True,
     compute_dtype=jnp.bfloat16,
     remat="none",
+    grad_dtype=None,
 ) -> Callable:
     """Returns train_step(state, vae_params, text_embed, batch, key) ->
     (state, metrics). batch: dict with rgb_norm [B,H,W,3], target gt
@@ -127,14 +128,61 @@ def make_train_step(
     (reference keeps them fp32 at marigold_depth_trainer.py:306,329).
     Pass compute_dtype=None to run the forward in the master dtype.
 
+    grad_dtype: None (default) differentiates w.r.t. the fp32 masters —
+    the backward's final store is fp32 through the cast, reference-exact.
+    `jnp.bfloat16` differentiates w.r.t. the CAST params instead, so the
+    gradient tree is stored in bf16: same backward matmuls (MXU
+    accumulates fp32 either way), half the gradient buffer (1.73 GB at
+    SD2 scale) — the exact HBM a bf16 accumulator costs, which is what
+    unlocks the bs8 accumulation geometry on one 16 GB chip
+    (docs/PERFORMANCE.md round 5). A numerics deviation (grads rounded
+    to bf16 at store), so opt-in like accum_dtype.
+
     Jit with donate_argnums=(0,) — at SD2 scale the fp32 Adam(+accum)
     state is ~14 GB; without donating the TrainState the update holds two
     copies and OOMs a 16 GB chip."""
-    loss_fn_inner = get_loss(loss_name)
-    n_latent = vae_cfg.latent_channels
-    ds = vae_cfg.downscale_factor
+    loss_and_grad = _make_loss_and_grad(
+        unet_cfg, vae_cfg, schedule, loss_name, multi_res_noise_cfg,
+        use_mask, compute_dtype, remat, grad_dtype,
+    )
 
     def train_step(state: TrainState, vae_params, text_embed, batch, key):
+        loss, grads = loss_and_grad(
+            state.params, vae_params, text_embed, batch, key
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics = {
+            "loss": loss,
+            # upcast before the norm: with bf16 grads the squared-sum
+            # reduction would lose ~3 digits (the cast fuses into the
+            # reduce — no fp32 gradient copy materializes)
+            "grad_norm": optax.global_norm(jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads
+            )),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def _make_loss_and_grad(
+    unet_cfg, vae_cfg, schedule, loss_name, multi_res_noise_cfg,
+    use_mask, compute_dtype, remat, grad_dtype,
+):
+    """(params, vae_params, text_embed, batch, key) -> (loss, grads):
+    the shared diffusion fine-tuning objective + backward used by both
+    the single-program step (make_train_step) and the two-program
+    accumulation pair (make_accum_pair)."""
+    loss_fn_inner = get_loss(loss_name)
+    ds = vae_cfg.downscale_factor
+
+    def loss_and_grad(master_params, vae_params, text_embed, batch, key):
         rgb = batch["rgb_norm"]
         gt = batch["gt_norm"]
         bsz = rgb.shape[0]
@@ -188,8 +236,8 @@ def make_train_step(
         else:
             mask_lat = None
 
-        def loss_of(params):
-            if compute_dtype is not None:
+        def loss_of(params, pre_cast=False):
+            if compute_dtype is not None and not pre_cast:
                 params = jax.tree_util.tree_map(
                     lambda p: p.astype(compute_dtype), params
                 )
@@ -209,21 +257,118 @@ def make_train_step(
                 return jnp.sum(jnp.where(mask_lat, diff, 0.0)) / n
             return loss_fn_inner(pred, target, reduction="mean")
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
-        updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params
+        if grad_dtype is not None:
+            # differentiate w.r.t. the cast params: the gradient tree is
+            # stored in grad_dtype (see make_train_step docstring),
+            # halving its HBM
+            cast_params = jax.tree_util.tree_map(
+                lambda p: p.astype(grad_dtype), master_params
+            )
+            return jax.value_and_grad(
+                lambda p: loss_of(p, pre_cast=True)
+            )(cast_params)
+        return jax.value_and_grad(loss_of)(master_params)
+
+    return loss_and_grad
+
+
+def make_accum_pair(
+    unet_cfg: unet_lib.UNetConfig,
+    vae_cfg: vae_lib.VAEConfig,
+    schedule: DiffusionSchedule,
+    inner_optimizer: optax.GradientTransformation,
+    accumulation_steps: int,
+    loss_name: str = "mse_loss",
+    multi_res_noise_cfg: Optional[dict] = None,
+    use_mask: bool = True,
+    compute_dtype=jnp.bfloat16,
+    remat="none",
+    accum_dtype=None,
+    grad_dtype=None,
+):
+    """Two-PROGRAM gradient accumulation: returns (micro_step,
+    apply_step, optimizer_like).
+
+    The single-program path (make_train_step + gradient_accumulation)
+    fuses the optimizer update into every micro-step under lax.cond, so
+    one program must fit BOTH the fwd/bwd activation peak AND the
+    optimizer-update transients (fp32 mean cast, update tree). Measured
+    on a 16 GB v5e: that sum kills the bs8 geometry (OOM under every
+    dtype combination). Splitting decouples the peaks:
+
+      * micro_step(state, vae_params, text_embed, batch, key)
+        -> (state, metrics): loss/grads + `acc += grad` ONLY. Peak =
+        activations + grads + accumulator; no optimizer transients.
+      * apply_step(state) -> state: mean = acc/k -> inner optimizer
+        update -> zero the accumulator. Peak = params + optimizer state
+        + the fp32 mean; no activations.
+
+    Both donate their TrainState and preserve its structure
+    (_AccumState opt_state, same as gradient_accumulation), so
+    checkpointing/resume/ZeRO-1 sharding are unchanged; `optimizer_like`
+    carries the matching .init for create_train_state. The trainer calls
+    micro_step every batch and apply_step at each k-th boundary.
+    `state.step` counts micro-steps (like the fused path).
+
+    Semantics match gradient_accumulation exactly (asserted in
+    tests/test_accumulation.py::test_accum_pair_matches_fused)."""
+    k = int(accumulation_steps)
+    loss_and_grad = _make_loss_and_grad(
+        unet_cfg, vae_cfg, schedule, loss_name, multi_res_noise_cfg,
+        use_mask, compute_dtype, remat, grad_dtype,
+    )
+
+    def init(params):
+        acc = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, accum_dtype or p.dtype), params
         )
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        return _AccumState(
+            jnp.zeros((), jnp.int32), acc, inner_optimizer.init(params)
+        )
+
+    optimizer_like = optax.GradientTransformation(
+        init, lambda *a, **kw: (_ for _ in ()).throw(RuntimeError(
+            "make_accum_pair state: use micro_step/apply_step, not "
+            "optimizer.update"
+        ))
+    )
+
+    def micro_step(state: TrainState, vae_params, text_embed, batch, key):
+        loss, grads = loss_and_grad(
+            state.params, vae_params, text_embed, batch, key
+        )
+        st: _AccumState = state.opt_state
+        acc = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(a.dtype), st.acc, grads
         )
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": optax.global_norm(jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads
+            )),
         }
+        new_state = TrainState(
+            step=state.step + 1, params=state.params,
+            opt_state=_AccumState(st.mini_step + 1, acc, st.inner),
+        )
         return new_state, metrics
 
-    return train_step
+    def apply_step(state: TrainState):
+        st: _AccumState = state.opt_state
+        mean = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32) / k, st.acc
+        )
+        updates, inner2 = inner_optimizer.update(
+            mean, st.inner, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        zeroed = jax.tree_util.tree_map(jnp.zeros_like, st.acc)
+        return TrainState(
+            step=state.step, params=new_params,
+            opt_state=_AccumState(st.mini_step, zeroed, inner2),
+        )
+
+    return micro_step, apply_step, optimizer_like
 
 
 def zero1_state_shardings(mesh, state_shapes: TrainState, axis_name: str = "data"):

@@ -91,11 +91,32 @@ class MarigoldTrainerBase:
         accum_dtype = opt_cfg.get("accum_dtype")  # e.g. "bfloat16" (r4:
         # halves the accumulation buffer, unlocking bs8 single-chip —
         # opt-in numerics deviation, see train_step.gradient_accumulation)
-        self.optimizer = make_optimizer(
-            lr, self.lr_schedule_fn, self.accumulation_steps,
-            name=opt_cfg.get("name", "adam"),
-            accum_dtype=jnp.dtype(accum_dtype) if accum_dtype else None,
+        self._accum_dtype = jnp.dtype(accum_dtype) if accum_dtype else None
+        # two-program accumulation (optimizer.split_accum: true) —
+        # micro grad+accumulate steps + a separate apply program, so the
+        # fwd/bwd peak and the optimizer-update transients never share a
+        # program's HBM budget; unlocks bs8 accumulation on one chip
+        # (train_step.make_accum_pair; semantics asserted equal to the
+        # fused path in tests/test_accumulation.py)
+        self.split_accum = (
+            bool(opt_cfg.get("split_accum", False))
+            and self.accumulation_steps > 1
         )
+        if self.split_accum:
+            from marigold_tpu.train.train_step import make_accum_pair
+
+            self._inner_optimizer = make_optimizer(
+                lr, self.lr_schedule_fn, 1, name=opt_cfg.get("name", "adam")
+            )
+            # optimizer_like: carries .init for create_train_state; the
+            # jitted micro/apply programs are built in _build_train_step
+            _, _, self.optimizer = self._make_pair()
+        else:
+            self.optimizer = make_optimizer(
+                lr, self.lr_schedule_fn, self.accumulation_steps,
+                name=opt_cfg.get("name", "adam"),
+                accum_dtype=self._accum_dtype,
+            )
         # train in fp32 master params (bf16 fwd handled inside model dtype)
         unet_params_f32 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), self.core.unet_params
@@ -171,20 +192,11 @@ class MarigoldTrainerBase:
             state = replicate(self.mesh, state)
         return state
 
-    def _build_train_step(self):
-        """(Re)build the jitted train step from the CURRENT core
-        schedule/config — called at init and after load_checkpoint, whose
-        checkpoint may carry a different scheduler config (the closure
-        bakes schedule/unet_cfg in). Donates the state: at SD2 scale the
-        fp32 Adam(+accum) state is ~14 GB — without donation the update
-        transiently holds old+new copies and OOMs a 16 GB chip."""
+    def _step_kwargs(self):
+        """Shared make_train_step/make_accum_pair kwargs from the config."""
         cfg = self.cfg
         mrn = cfg.get("multi_res_noise")
-        _step_fn = make_train_step(
-            self.core.unet_cfg,
-            self.core.vae_cfg,
-            self.core.schedule,
-            self.optimizer,
+        return dict(
             loss_name=cfg.loss.name,
             multi_res_noise_cfg=dict(mrn) if mrn else None,
             use_mask=cfg.get("gt_mask_type") is not None,
@@ -192,16 +204,66 @@ class MarigoldTrainerBase:
             # bool (yaml true/false) or a mode string ("full"/"save_heavy"
             # /"none") — see train_step._apply_remat
             remat=cfg.trainer.get("remat", False),
+            # opt-in bf16 gradient storage (optimizer.grad_dtype:
+            # bfloat16): halves the gradient buffer, which together with
+            # accum_dtype unlocks the bs8 accumulation geometry — see
+            # train_step.make_train_step docstring
+            grad_dtype=(
+                jnp.dtype(g) if (g := (cfg.get("optimizer") or {})
+                                 .get("grad_dtype")) else None
+            ),
         )
+
+    def _make_pair(self):
+        from marigold_tpu.train.train_step import make_accum_pair
+
+        return make_accum_pair(
+            self.core.unet_cfg,
+            self.core.vae_cfg,
+            self.core.schedule,
+            self._inner_optimizer,
+            self.accumulation_steps,
+            accum_dtype=self._accum_dtype,
+            **self._step_kwargs(),
+        )
+
+    def _build_train_step(self):
+        """(Re)build the jitted train step from the CURRENT core
+        schedule/config — called at init and after load_checkpoint, whose
+        checkpoint may carry a different scheduler config (the closure
+        bakes schedule/unet_cfg in). Donates the state: at SD2 scale the
+        fp32 Adam(+accum) state is ~14 GB — without donation the update
+        transiently holds old+new copies and OOMs a 16 GB chip."""
         jit_kwargs = {}
+        state_out = None
         if self.state_shardings is not None:
             # pin the output state to the ZeRO-1 layout (metrics replicated)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            state_out = self.state_shardings
             jit_kwargs["out_shardings"] = (
-                self.state_shardings,
+                state_out,
                 NamedSharding(self.mesh, P()),
             )
+        if self.split_accum:
+            micro, apply_raw, _ = self._make_pair()
+            self.train_step = jax.jit(
+                micro, donate_argnums=(0,), **jit_kwargs
+            )
+            self.apply_step = jax.jit(
+                apply_raw, donate_argnums=(0,),
+                **({"out_shardings": state_out} if state_out is not None
+                   else {}),
+            )
+            return
+        self.apply_step = None
+        _step_fn = make_train_step(
+            self.core.unet_cfg,
+            self.core.vae_cfg,
+            self.core.schedule,
+            self.optimizer,
+            **self._step_kwargs(),
+        )
         self.train_step = jax.jit(
             _step_fn, donate_argnums=(0,), **jit_kwargs
         )
@@ -292,6 +354,10 @@ class MarigoldTrainerBase:
                 self.n_batch_in_epoch += 1
 
                 if accumulated_step >= self.accumulation_steps:
+                    if self.split_accum:
+                        # two-program accumulation: the optimizer update
+                        # runs in its own program at the window boundary
+                        self.state = self.apply_step(self.state)
                     loss = float(window_loss) / accumulated_step
                     accumulated_step = 0
                     self.effective_iter += 1

@@ -33,6 +33,20 @@ def main():
         help="optax.MultiSteps accumulation steps (shipped config: 16); "
         "at 1 the eff-batch-32 extrapolation excludes MultiSteps overhead",
     )
+    ap.add_argument("--remat", default="full",
+                    choices=("none", "full", "save_heavy"))
+    ap.add_argument("--accum_dtype", default=None,
+                    choices=(None, "bfloat16"),
+                    help="bf16 accumulator (train_step."
+                         "gradient_accumulation; opt-in numerics)")
+    ap.add_argument("--grad_dtype", default=None,
+                    choices=(None, "bfloat16"),
+                    help="bf16 gradient storage (halves the grad buffer; "
+                         "opt-in numerics — see make_train_step)")
+    ap.add_argument("--split_accum", action="store_true",
+                    help="two-program accumulation (make_accum_pair): "
+                         "micro grad+accumulate steps + a separate "
+                         "apply program — decouples the HBM peaks")
     args = ap.parse_args()
 
     import jax
@@ -57,22 +71,48 @@ def main():
                                                   dtype=jnp.bfloat16))
     unet_params = jax.block_until_ready(init(k1))
     unet_cfg, unet_params = surgery.replace_conv_in(unet_cfg, unet_params, 8)
+    # Stage the master copy on HOST: the real trainer keeps only one
+    # fp32 master tree on device (inside the donated TrainState) plus
+    # the bf16 serving copy — a second device-resident fp32 tree here
+    # would steal 3.46 GB of HBM from the step and make every OOM
+    # boundary in the sweep a bench artifact.
     unet_params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32), unet_params
+        lambda x: np.asarray(x, dtype=np.float32), unet_params
     )
     vae_params = jax.block_until_ready(
         jax.jit(lambda k: vae_lib.init_params(k, vae_cfg,
                                               dtype=jnp.bfloat16))(k2)
     )
 
-    optimizer = make_optimizer(3e-5, None, accumulation_steps=args.accum,
-                               name="adafactor")
-    step = jax.jit(
-        make_train_step(unet_cfg, vae_cfg, DiffusionSchedule.create(),
-                        optimizer, loss_name="mse_loss",
-                        multi_res_noise_cfg=None, remat=True),
-        donate_argnums=(0,),
-    )
+    gd = jnp.dtype(args.grad_dtype) if args.grad_dtype else None
+    ad = jnp.dtype(args.accum_dtype) if args.accum_dtype else None
+    apply_fn = None
+    if args.split_accum:
+        import optax
+        from marigold_tpu.train.train_step import make_accum_pair
+
+        inner = optax.adafactor(
+            3e-5, multiply_by_parameter_scale=False, clipping_threshold=1.0
+        )
+        micro, apply_raw, optimizer = make_accum_pair(
+            unet_cfg, vae_cfg, DiffusionSchedule.create(), inner,
+            args.accum, loss_name="mse_loss", multi_res_noise_cfg=None,
+            remat=args.remat, accum_dtype=ad, grad_dtype=gd,
+        )
+        step = jax.jit(micro, donate_argnums=(0,))
+        apply_fn = jax.jit(apply_raw, donate_argnums=(0,))
+    else:
+        optimizer = make_optimizer(
+            3e-5, None, accumulation_steps=args.accum, name="adafactor",
+            accum_dtype=ad,
+        )
+        step = jax.jit(
+            make_train_step(unet_cfg, vae_cfg, DiffusionSchedule.create(),
+                            optimizer, loss_name="mse_loss",
+                            multi_res_noise_cfg=None, remat=args.remat,
+                            grad_dtype=gd),
+            donate_argnums=(0,),
+        )
     text = jnp.zeros((1, 2, 1024), jnp.bfloat16)
     key = jax.random.PRNGKey(1)
     rng = np.random.default_rng(0)
@@ -91,18 +131,33 @@ def main():
             # fresh copies: the jitted step donates the state, and the
             # donated leaves alias unet_params
             state = create_train_state(
-                jax.tree_util.tree_map(jnp.copy, unet_params), optimizer
+                jax.tree_util.tree_map(jnp.asarray, unet_params), optimizer
             )
+            micro_i = 0
+
+            def one(state):
+                nonlocal micro_i
+                state, m = step(state, vae_params, text, batch, key)
+                micro_i += 1
+                if apply_fn is not None and micro_i % args.accum == 0:
+                    state = apply_fn(state)
+                return state, m
+
             t0 = time.perf_counter()
-            state, m = step(state, vae_params, text, batch, key)
+            state, m = one(state)
             jax.block_until_ready(m["loss"])
             compile_s = time.perf_counter() - t0
+            if apply_fn is not None:  # compile the apply program too
+                for _ in range(args.accum - 1):
+                    state, m = one(state)
+                jax.block_until_ready(m["loss"])
             for _ in range(3):
-                state, m = step(state, vae_params, text, batch, key)
+                state, m = one(state)
             jax.block_until_ready(m["loss"])
+            micro_i = 0
             t0 = time.perf_counter()
             for _ in range(args.steps):
-                state, m = step(state, vae_params, text, batch, key)
+                state, m = one(state)
             jax.block_until_ready(m["loss"])
             dt = (time.perf_counter() - t0) / args.steps
             accum_note = (

@@ -387,3 +387,60 @@ def test_resume_rejects_mid_epoch_process_count_change(sd2_ckpt, tmp_path, rng):
     t3 = _build_trainer(sd2_ckpt, tmp_path / "c", rng, max_iter=4)
     t3.load_checkpoint(str(ckpt))
     assert t3.effective_iter == 2
+
+
+def test_split_accum_trainer_wiring(sd2_ckpt, tmp_path, rng):
+    """optimizer.split_accum: true must build the two-program pair
+    (micro + apply), train through accumulation boundaries, update the
+    params at each boundary, and checkpoint/resume with the same state
+    layout as the fused path. (Exact step-for-step math equivalence of
+    the pair vs the fused optimizer is asserted at the function level in
+    tests/test_accumulation.py::test_accum_pair_matches_fused — a
+    trainer-vs-trainer comparison would need bit-identical data
+    streams, which two independently-built synthetic datasets are not.)"""
+    t = _build_trainer(sd2_ckpt, tmp_path, rng, max_iter=2)
+    cfg = t.cfg
+    cfg.optimizer = Config(name="adafactor", split_accum=True)
+    tp = type(t)(
+        cfg=cfg, model=t.model, train_dataloader=t.train_loader,
+        out_dir_ckpt=str(tmp_path / "ckpt2"),
+        out_dir_eval=str(tmp_path / "eval2"),
+        out_dir_vis=str(tmp_path / "vis2"),
+        accumulation_steps=2, val_dataloaders=[], vis_dataloaders=[],
+    )
+    assert tp.split_accum and tp.apply_step is not None
+    params_before = jax.tree_util.tree_map(np.asarray, tp.state.params)
+    tp.train()
+    assert tp.effective_iter == 2
+    # params actually moved (apply_step ran at the boundaries)
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params_before),
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, tp.state.params)),
+        )
+    )
+    assert moved, "split-accum trainer never applied an update"
+    # the accumulator is zeroed after the final boundary
+    acc_leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, tp.state.opt_state.acc))
+    assert all(np.all(a == 0) for a in acc_leaves)
+    # checkpoint round-trips into a fresh split-accum trainer
+    assert os.path.isdir(tmp_path / "ckpt2" / "latest")
+    t2 = type(t)(
+        cfg=cfg, model=t.model, train_dataloader=t.train_loader,
+        out_dir_ckpt=str(tmp_path / "ckpt3"),
+        out_dir_eval=str(tmp_path / "eval3"),
+        out_dir_vis=str(tmp_path / "vis3"),
+        accumulation_steps=2, val_dataloaders=[], vis_dataloaders=[],
+    )
+    t2.load_checkpoint(str(tmp_path / "ckpt2" / "latest"))
+    assert t2.effective_iter == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, tp.state.params)),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, t2.state.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
