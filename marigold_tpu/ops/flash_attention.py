@@ -336,9 +336,16 @@ def _flash_dt_impl(
     if softmax == "shifted":
         # full-K-resident kernel when K+V rows fit VMEM comfortably (the
         # d=64 UNet heads: 2x 1.2MB); K-blocked with scratch accumulators
-        # otherwise (the 512-wide VAE mid head: 2x 9.4MB would OOM VMEM)
+        # otherwise (the 512-wide VAE mid head: 2x 9.4MB would OOM VMEM).
+        # The residency test must also gate on head width: the resident
+        # kernel's per-block fp32 compute buffers scale with d, so a
+        # d=512 head can pass the K+V byte test at small nk yet blow the
+        # 16 MB scoped-VMEM limit (found by the round-5 parity dress
+        # rehearsal: the 384px smoke shape, nk_pad=2048, compiled to an
+        # 18.2 MB stack allocation). d<=128 keeps the resident fast path
+        # exactly where it was tuned — the UNet's d=64 heads.
         kv_bytes = 2 * d * nk_pad * qt.dtype.itemsize
-        k_resident = kv_bytes <= _KV_RESIDENT_BYTES
+        k_resident = kv_bytes <= _KV_RESIDENT_BYTES and d <= 128
         if not k_resident:
             # wide-head K-blocked variant: tuned (and measured) at
             # q512/k512 — keep auto-selection from widening its K blocks
