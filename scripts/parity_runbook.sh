@@ -95,8 +95,9 @@ for k in keys:
     t0 = time.time()
     pipe = cls.from_pretrained(f"{ckpt_dir}/{name}")
     t1 = time.time()
+    kw = {"color_map": None} if k == "depth" else {}
     out = pipe(img, denoising_steps=1, ensemble_size=1,
-               processing_res=384, show_progress_bar=False, color_map=None)
+               processing_res=384, show_progress_bar=False, **kw)
     t2 = time.time()
     arr = getattr(out, "depth_np", None)
     if arr is None:
