@@ -51,12 +51,14 @@ def main():
 
     rng = np.random.default_rng(0)
     ni = int(os.environ.get("MARIGOLD_BENCH_NI", "3"))
+    steps = int(os.environ.get("MARIGOLD_BENCH_STEPS", "4"))
     imgs = [rng.integers(0, 255, (768, 768, 3), dtype=np.uint8) for _ in range(ni)]
     rgb_stack = np.stack(imgs)  # uint8, matching bench.py
 
     def run(i):
         return pipe._infer_fused_batch(
-            rgb_stack, denoising_steps=4, ensemble_size=10, batch_size=ni * 10,
+            rgb_stack, denoising_steps=steps, ensemble_size=10,
+            batch_size=ni * 10,
             seed=1234 + i, out_hw=(768, 768), sync=False,
         )
 
