@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--split_accum", type=int, default=1,
+                    help=">1: two-program accumulation (make_accum_pair, remat none) — the r5 single-chip recipe")
     ap.add_argument("--target_ratio", type=float, default=1e-2,
                     help="require final loss <= ratio * initial loss")
     ap.add_argument("--out", default=os.path.join(REPO, "docs"))
@@ -126,14 +128,35 @@ def main():
           f"{unet_cfg.out_channels}ch, {n_params/1e6:.0f}M params, "
           f"device: {jax.devices()[0]}")
 
-    optimizer = make_optimizer(args.lr, None, accumulation_steps=1,
-                               name="adafactor")
-    step = jax.jit(
-        make_train_step(unet_cfg, vae_cfg, DiffusionSchedule.create(),
-                        optimizer, loss_name="mse_loss",
-                        multi_res_noise_cfg=None, remat=True),
-        donate_argnums=(0,),
-    )
+    apply_fn = None
+    if args.split_accum > 1:
+        # the r5 shipped single-chip recipe: two-program accumulation
+        # (micro grad+accumulate / apply update), remat none —
+        # proves the 48.9 ms/sample geometry CONVERGES at full scale,
+        # not just that it benches (train_step.make_accum_pair)
+        import optax
+        from marigold_tpu.train.train_step import make_accum_pair
+
+        inner = optax.adafactor(
+            args.lr, multiply_by_parameter_scale=False,
+            clipping_threshold=1.0,
+        )
+        micro, apply_raw, optimizer = make_accum_pair(
+            unet_cfg, vae_cfg, DiffusionSchedule.create(), inner,
+            args.split_accum, loss_name="mse_loss",
+            multi_res_noise_cfg=None, remat="none",
+        )
+        step = jax.jit(micro, donate_argnums=(0,))
+        apply_fn = jax.jit(apply_raw, donate_argnums=(0,))
+    else:
+        optimizer = make_optimizer(args.lr, None, accumulation_steps=1,
+                                   name="adafactor")
+        step = jax.jit(
+            make_train_step(unet_cfg, vae_cfg, DiffusionSchedule.create(),
+                            optimizer, loss_name="mse_loss",
+                            multi_res_noise_cfg=None, remat=True),
+            donate_argnums=(0,),
+        )
     state = create_train_state(unet_params, optimizer)
 
     rng = np.random.default_rng(0)
@@ -146,6 +169,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, m = step(state, vae_params, text, batch, fixed_key)
+        if apply_fn is not None and (i + 1) % args.split_accum == 0:
+            state = apply_fn(state)
         if (i + 1) % 20 == 0 or i < 3:
             loss = float(m["loss"])
             print(f"step {i+1:4d}  loss {loss:.6f}  "
