@@ -292,6 +292,17 @@ _SHIFT_SAMPLE_TARGET = 128  # aim for ~128 sampled K columns per row
 _KV_RESIDENT_BYTES = 6 * 1024 * 1024  # full-K kernel if K+V rows fit this
 
 
+def _k_resident(d: int, nk_pad: int, itemsize: int) -> bool:
+    """Full-K-resident shifted kernel eligibility. Two gates:
+    K+V rows must fit the VMEM budget, AND the head must be narrow
+    (d<=128): the resident kernel's per-block fp32 compute buffers scale
+    with d, so a d=512 head can pass the byte test at small nk yet blow
+    the 16 MB scoped-VMEM limit (round-5 dress rehearsal: 384px smoke,
+    nk_pad=2048, 18.2 MB stack allocation at compile). Pinned by
+    tests/test_flash_attention.py::test_k_resident_gate."""
+    return 2 * d * nk_pad * itemsize <= _KV_RESIDENT_BYTES and d <= 128
+
+
 def _auto_block_k(nk: int) -> int:
     """Largest of {1024, 768, 512} whose padding of nk is smallest (ties
     go to the larger block — fewer K iterations per q block; measured
@@ -334,18 +345,9 @@ def _flash_dt_impl(
     n_valid = jnp.asarray([nk], jnp.int32)
 
     if softmax == "shifted":
-        # full-K-resident kernel when K+V rows fit VMEM comfortably (the
-        # d=64 UNet heads: 2x 1.2MB); K-blocked with scratch accumulators
-        # otherwise (the 512-wide VAE mid head: 2x 9.4MB would OOM VMEM).
-        # The residency test must also gate on head width: the resident
-        # kernel's per-block fp32 compute buffers scale with d, so a
-        # d=512 head can pass the K+V byte test at small nk yet blow the
-        # 16 MB scoped-VMEM limit (found by the round-5 parity dress
-        # rehearsal: the 384px smoke shape, nk_pad=2048, compiled to an
-        # 18.2 MB stack allocation). d<=128 keeps the resident fast path
-        # exactly where it was tuned — the UNet's d=64 heads.
-        kv_bytes = 2 * d * nk_pad * qt.dtype.itemsize
-        k_resident = kv_bytes <= _KV_RESIDENT_BYTES and d <= 128
+        # full-K-resident kernel when eligible (see _k_resident);
+        # K-blocked with scratch accumulators otherwise
+        k_resident = _k_resident(d, nk_pad, qt.dtype.itemsize)
         if not k_resident:
             # wide-head K-blocked variant: tuned (and measured) at
             # q512/k512 — keep auto-selection from widening its K blocks

@@ -505,3 +505,22 @@ def test_flash_dt_bwd_env_fallback(rng, monkeypatch):
     for gp, gx in zip(g_pallas, g_xla):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_k_resident_gate():
+    """The full-K-resident shifted kernel must only be chosen for narrow
+    heads with VMEM-fitting K/V — regression pin for the round-5
+    dress-rehearsal bug where the d=512 VAE mid-head passed the K+V byte
+    test at nk_pad=2048 and compiled to an 18.2 MB scoped-VMEM stack
+    allocation (limit 16 MB)."""
+    from marigold_tpu.ops.flash_attention import _k_resident
+
+    # the tuned UNet case: d=64, protocol sequence lengths
+    assert _k_resident(64, 9216, 2)
+    assert _k_resident(64, 2304, 2)
+    # the rehearsal bug shape: d=512 VAE mid-head at 384px smoke
+    assert not _k_resident(512, 2048, 2)
+    # d=512 at 768px was already K-blocked via the byte test
+    assert not _k_resident(512, 9216, 2)
+    # byte test alone still rejects huge K/V even for narrow heads
+    assert not _k_resident(128, 200_000, 2)
