@@ -350,3 +350,17 @@ def test_decode_chunking_counts_decoded_images():
     assert DiffusionCore.decode_chunking(30, (768, 768), "normals", 1) == (2, 15)
     # tiny totals never produce empty chunks
     assert DiffusionCore.decode_chunking(1, (768, 768), "iid", 3) == (1, 1)
+
+
+def test_decode_cap_env_override(monkeypatch):
+    """MARIGOLD_DECODE_CAP overrides the 20-image decode cap (round-5
+    geometry-sweep knob for the 1-step protocols); unset keeps the
+    measured default."""
+    from marigold_tpu.pipelines.base import DiffusionCore
+
+    monkeypatch.setenv("MARIGOLD_DECODE_CAP", "10")
+    assert DiffusionCore.decode_chunking(30, (768, 768), "depth", 1) == (3, 10)
+    monkeypatch.setenv("MARIGOLD_DECODE_CAP", "30")
+    assert DiffusionCore.decode_chunking(30, (768, 768), "depth", 1) == (1, 30)
+    monkeypatch.delenv("MARIGOLD_DECODE_CAP")
+    assert DiffusionCore.decode_chunking(30, (768, 768), "depth", 1) == (2, 15)
