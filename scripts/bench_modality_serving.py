@@ -113,7 +113,15 @@ def build_pipe(modality, dtype):
     )
 
 
-def bench_one(modality, res, steps, ensemble, ni, n_iter=4):
+def bench_one(modality, res, steps, ensemble, ni, n_iter=4,
+              device_only=False):
+    """device_only=True times async submit + block_until_ready WITHOUT
+    the host transfer: this tunneled bench host reads back at
+    10-50 MB/s depending on the day, which for readback-heavy configs
+    (IID: ~30 MB/map) makes the wall number a tunnel measurement, not a
+    chip one (docs/PERFORMANCE.md r5 "Tunnel-readback variability").
+    Production hosts read back at GB/s, so device-only is the per-chip
+    capacity there."""
     import jax
     import jax.numpy as jnp
 
@@ -138,9 +146,14 @@ def bench_one(modality, res, steps, ensemble, ni, n_iter=4):
             sync=False, compact_output=True,
         )
         in_flight.append(p)
-    results = [np.asarray(jax.device_get(p)) for p in in_flight]
+    if device_only:
+        jax.block_until_ready(in_flight)
+        dt = (time.time() - t0) / n_iter / ni
+        results = [np.asarray(jax.device_get(in_flight[0]))]  # untimed
+    else:
+        results = [np.asarray(jax.device_get(p)) for p in in_flight]
+        dt = (time.time() - t0) / n_iter / ni
     assert all(np.isfinite(r).all() for r in results)
-    dt = (time.time() - t0) / n_iter / ni
     return 1.0 / dt, dt
 
 
@@ -194,6 +207,9 @@ def main():
     ap.add_argument("--latency", action="store_true",
                     help="also measure single-image synchronous latency "
                          "for depth1/lcm")
+    ap.add_argument("--device_only", action="store_true",
+                    help="time device completion without the host "
+                         "readback (see bench_one docstring)")
     args = ap.parse_args()
 
     from marigold_tpu.utils.compile_cache import (
@@ -219,11 +235,14 @@ def main():
         base = "depth" if modality in ("depth1", "lcm") else modality
         sampler = "LCM" if modality == "lcm" else "DDIM"
         maps_per_sec, dt = bench_one(
-            modality, res, steps, ensemble, ni, n_iter=args.n_iter
+            modality, res, steps, ensemble, ni, n_iter=args.n_iter,
+            device_only=args.device_only,
         )
+        tag = ", device-only" if args.device_only else ""
         print(json.dumps({
             "metric": f"{res}px {base} maps/sec/chip "
-                      f"({steps}-step {sampler}, {ensemble}-ensemble)",
+                      f"({steps}-step {sampler}, {ensemble}-ensemble"
+                      f"{tag})",
             "value": round(maps_per_sec, 4),
             "unit": "maps/sec",
         }))
